@@ -1,0 +1,209 @@
+"""Single-source-of-truth configuration for the VIO engine.
+
+Replaces the reference's ``ConfigUtils`` singleton + OpenCV YAML loader
+(``src/util/ConfigUtils.{h,cpp}``, ``config/default_config.yaml``) with
+frozen dataclasses passed explicitly. The YAML schema is mirrored so
+reference config files can be ingested directly (``load_yaml``).
+
+Where the reference's hardcoded defaults diverge from its shipped YAML
+(SURVEY.md §5 "Config"), we take the values the reference *actually
+uses at runtime*: e.g. the tracker hardcodes a 21x21 LK window and a 2°
+RANSAC threshold regardless of the YAML (FeatureTracker.cpp:33-38), and
+the sliding window is hardcoded to 10 keyframes (Estimator.cpp:693).
+
+Static capacities (``max_features``, ``window_size`` …) become compile-
+time array sizes, so changing them triggers recompilation — by design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    width: int = 960
+    height: int = 480
+    polar_exclusion_ratio: float = 0.15
+    boundary_margin: float = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    max_features: int = 1000
+    quality_level: float = 0.01
+    min_distance: float = 30.0
+    grid_cols: int = 20
+    grid_rows: int = 10
+    max_features_per_grid: int = 10
+    # Padded SoA capacity (multiple of 128 for TPU lane alignment).
+    capacity: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class OpticalFlowConfig:
+    # The reference code hardcodes 21/3/30/0.01 (FeatureTracker.cpp:33-35)
+    # even though its YAML says 51.
+    window_size: int = 21
+    max_level: int = 3
+    max_iterations: int = 30
+    epsilon: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    max_iterations: int = 1000
+    threshold_degrees: float = 2.0  # FeatureTracker.cpp:37 hardcodes 2.0
+    confidence: float = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    min_features_ratio: float = 0.5
+    min_parallax_for_keyframe: float = 10.0
+    redetect_below: int = 100  # Estimator.cpp:371-373
+
+
+@dataclasses.dataclass(frozen=True)
+class InitializationConfig:
+    window_size: int = 10
+    min_parallax: float = 10.0
+    min_features: int = 100
+    min_observations: int = 10
+    grid_cols: int = 8
+    grid_rows: int = 4
+    max_per_cell: int = 5
+    ransac_threshold: float = 0.1
+    ransac_iterations: int = 200
+    min_inlier_ratio: float = 0.7
+    max_reprojection_error: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    max_keyframes: int = 10  # Estimator.cpp:693 (hardcoded)
+    max_landmarks: int = 2048  # SoA capacity for window landmarks
+    # BA behavior (Optimizer.cpp)
+    huber_delta: float = 1.0
+    chi2_threshold: float = 5.991
+    pnp_rounds: int = 4
+    pnp_min_inliers: int = 10
+    max_lm_iterations: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    frequency: float = 200.0
+    gyro_noise: float = 0.001
+    accel_noise: float = 0.01
+    gyro_bias_noise: float = 0.0001
+    accel_bias_noise: float = 0.001
+    gravity_magnitude: float = 9.81
+    min_dt: float = 0.0005  # IMUPreintegrator.cpp:183-184 clamp
+    max_dt: float = 0.02
+    # Static capacity of per-interval sample buffers (fixed-shape scan).
+    max_samples_per_frame: int = 64
+    max_samples_per_keyframe: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class VioConfig:
+    camera: CameraConfig = CameraConfig()
+    features: FeatureConfig = FeatureConfig()
+    optical_flow: OpticalFlowConfig = OpticalFlowConfig()
+    ransac: RansacConfig = RansacConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    init: InitializationConfig = InitializationConfig()
+    window: WindowConfig = WindowConfig()
+    imu: ImuConfig = ImuConfig()
+    # T_BC: camera-to-body extrinsics (4x4 row-major tuple-of-tuples so the
+    # config stays hashable/static under jit).
+    t_bc: tuple = (
+        (1.0, 0.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0, 0.0),
+        (0.0, 0.0, 1.0, 0.0),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+
+    def t_bc_array(self) -> np.ndarray:
+        return np.asarray(self.t_bc, dtype=np.float32)
+
+
+def _get(d: dict, *keys, default=None):
+    for k in keys:
+        if not isinstance(d, dict) or k not in d:
+            return default
+        d = d[k]
+    return d
+
+
+def load_yaml(path: str) -> VioConfig:
+    """Ingest a reference-format YAML config (config/default_config.yaml).
+
+    Handles the OpenCV ``%YAML:1.0`` header that standard parsers reject.
+    Values absent from the file keep the dataclass defaults; like the
+    reference runtime, LK window / RANSAC threshold stay at the
+    code-hardcoded values unless explicitly overridden via
+    ``trust_yaml_tracker_params``.
+    """
+    import yaml  # lazy; PyYAML ships with the baked-in deps
+
+    with open(path) as f:
+        text = f.read()
+    # OpenCV FileStorage header is not valid YAML 1.1 for pyyaml.
+    lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+    data: dict[str, Any] = yaml.safe_load("\n".join(lines)) or {}
+
+    cam = CameraConfig(
+        width=_get(data, "camera", "width", default=960),
+        height=_get(data, "camera", "height", default=480),
+        polar_exclusion_ratio=_get(data, "camera", "polar_exclusion_ratio", default=0.15),
+        boundary_margin=_get(data, "camera", "boundary_margin", default=20.0),
+    )
+    max_features = _get(data, "feature_detection", "max_features", default=1000)
+    feats = FeatureConfig(
+        max_features=max_features,
+        quality_level=_get(data, "feature_detection", "quality_level", default=0.01),
+        min_distance=_get(data, "feature_detection", "min_distance", default=30.0),
+        grid_cols=_get(data, "feature_detection", "grid_cols", default=20),
+        grid_rows=_get(data, "feature_detection", "grid_rows", default=10),
+        max_features_per_grid=_get(data, "feature_detection", "max_features_per_grid", default=10),
+        capacity=-(-max_features // 128) * 128,
+    )
+    tracking = TrackingConfig(
+        min_features_ratio=_get(data, "tracking", "min_features_ratio", default=0.5),
+        min_parallax_for_keyframe=_get(
+            data, "tracking", "min_parallax_for_keyframe", default=10.0
+        ),
+    )
+    init = InitializationConfig(
+        window_size=_get(data, "initialization", "window_size", default=10),
+        min_parallax=_get(data, "initialization", "min_parallax", default=10.0),
+        min_features=_get(data, "initialization", "min_features", default=100),
+        min_observations=_get(data, "initialization", "min_observations", default=10),
+        ransac_threshold=_get(data, "initialization", "ransac_threshold", default=0.1),
+        ransac_iterations=_get(data, "initialization", "ransac_iterations", default=200),
+        min_inlier_ratio=_get(data, "initialization", "min_inlier_ratio", default=0.7),
+        max_reprojection_error=_get(
+            data, "initialization", "max_reprojection_error", default=5.0
+        ),
+    )
+    imu = ImuConfig(
+        frequency=_get(data, "imu", "frequency", default=200.0),
+        gyro_noise=_get(data, "imu", "gyro_noise", default=0.001),
+        accel_noise=_get(data, "imu", "accel_noise", default=0.01),
+        gyro_bias_noise=_get(data, "imu", "gyro_bias_noise", default=0.0001),
+        accel_bias_noise=_get(data, "imu", "accel_bias_noise", default=0.001),
+    )
+    t_bc_raw = _get(data, "extrinsics", "T_BC")
+    t_bc = (
+        tuple(tuple(float(x) for x in row) for row in t_bc_raw)
+        if t_bc_raw is not None
+        else VioConfig.t_bc
+    )
+    return VioConfig(
+        camera=cam, features=feats, tracking=tracking, init=init, imu=imu, t_bc=t_bc
+    )

@@ -1,0 +1,229 @@
+"""SO(3)/SE(3) Lie-group operations as pure, batchable JAX functions.
+
+Behavioral counterpart of the reference's self-contained Sophus
+replacement (``src/util/LieUtils.{h,cpp}``): exp/log/hat/vee, SE(3)
+V-matrix, slerp/pose interpolation, SO(3) right Jacobian. Conventions
+match the reference:
+
+- twist order is ``[translation (rho), rotation (phi)]``
+  (LieUtils.cpp:305-333),
+- poses are stored as (R, t) with ``R`` world-from-X rotation and
+  ``t`` translation, i.e. ``x_w = R @ x_b + t``.
+
+All functions are shape-polymorphic over leading batch dims only via
+``jax.vmap``; the core implementations are single-element and rely on
+XLA fusion. float32 throughout (TPU-native); tests cross-check against
+float64 NumPy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(v: jax.Array) -> jax.Array:
+    """[3] -> [3,3] skew-symmetric matrix."""
+    x, y, z = v[0], v[1], v[2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y]),
+            jnp.stack([z, zero, -x]),
+            jnp.stack([-y, x, zero]),
+        ]
+    )
+
+
+def vee(m: jax.Array) -> jax.Array:
+    """[3,3] skew-symmetric -> [3]."""
+    return jnp.stack([m[2, 1], m[0, 2], m[1, 0]])
+
+
+def so3_exp(phi: jax.Array) -> jax.Array:
+    """Axis-angle [3] -> rotation matrix [3,3] (Rodrigues).
+
+    Uses the numerically stable series for small angles; branch-free
+    (jnp.where) so it is jit/vmap friendly.
+    """
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2)
+    k = hat(phi)
+    k2 = k @ k
+    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks.
+    small = theta < 1e-5
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    return jnp.eye(3, dtype=phi.dtype) + a * k + b * k2
+
+
+def so3_log(r: jax.Array) -> jax.Array:
+    """Rotation matrix [3,3] -> axis-angle [3].
+
+    Robust near theta=0 and theta=pi (uses the diagonal method at pi,
+    mirroring the reference's LieUtils SO3 Log behavior).
+    """
+    trace = r[0, 0] + r[1, 1] + r[2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    w = jnp.stack([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+
+    # Generic: phi = theta / (2 sin theta) * vee(R - R^T)
+    sin_theta = jnp.sin(theta)
+    safe_sin = jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta)
+    generic = w * (theta / (2.0 * safe_sin))
+    # Small angle: phi ~ 0.5 * w * (1 + theta^2/6)
+    small = 0.5 * w * (1.0 + theta * theta / 6.0)
+
+    # Near pi: use R + I diagonal method. axis_i = sqrt((R_ii + 1)/2)
+    diag = jnp.stack([r[0, 0], r[1, 1], r[2, 2]])
+    axis_sq = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
+    k = jnp.argmax(axis_sq)
+    ax = jnp.sqrt(jnp.maximum(axis_sq[k], _EPS))
+    col = (r[:, k] + jnp.eye(3, dtype=r.dtype)[:, k]) / (2.0 * ax)
+    col = col / jnp.maximum(jnp.linalg.norm(col), _EPS)
+    # Fix sign so that it is consistent with w (w ~ 2 sin(theta) axis -> 0 at pi;
+    # any sign is a valid log at exactly pi).
+    sign = jnp.where(jnp.dot(col, w) < 0.0, -1.0, 1.0)
+    near_pi = theta * sign * col
+
+    phi = jnp.where(theta < 1e-5, small, jnp.where(jnp.pi - theta < 1e-4, near_pi, generic))
+    return phi
+
+
+def so3_right_jacobian(phi: jax.Array) -> jax.Array:
+    """Right Jacobian Jr(phi) of SO(3): exp(phi + dphi) ~ exp(phi) exp(Jr dphi)."""
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2)
+    k = hat(phi)
+    k2 = k @ k
+    small = theta < 1e-5
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    safe_t3 = jnp.where(small, 1.0, theta2 * theta)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
+    return jnp.eye(3, dtype=phi.dtype) - a * k + b * k2
+
+
+def so3_right_jacobian_inv(phi: jax.Array) -> jax.Array:
+    """Inverse right Jacobian Jr^{-1}(phi)."""
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2)
+    k = hat(phi)
+    k2 = k @ k
+    small = theta < 1e-5
+    half = jnp.asarray(0.5, phi.dtype)
+    # c = 1/theta^2 - (1 + cos)/(2 theta sin);  Taylor: 1/12 + theta^2/720
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    sin_t = jnp.sin(theta)
+    safe_den = jnp.where(small, 1.0, 2.0 * theta * jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t))
+    c_generic = 1.0 / safe_t2 - (1.0 + jnp.cos(theta)) / safe_den
+    c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, c_generic)
+    return jnp.eye(3, dtype=phi.dtype) + half * k + c * k2
+
+
+def _se3_v_matrix(phi: jax.Array) -> jax.Array:
+    """V(phi) such that t = V rho in SE(3) exp (LieUtils.cpp:305-333)."""
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2)
+    k = hat(phi)
+    k2 = k @ k
+    small = theta < 1e-5
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    safe_t3 = jnp.where(small, 1.0, theta2 * theta)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
+    return jnp.eye(3, dtype=phi.dtype) + a * k + b * k2
+
+
+def se3_exp(xi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Twist [rho(3), phi(3)] -> (R [3,3], t [3])."""
+    rho, phi = xi[:3], xi[3:]
+    r = so3_exp(phi)
+    t = _se3_v_matrix(phi) @ rho
+    return r, t
+
+
+def se3_log(r: jax.Array, t: jax.Array) -> jax.Array:
+    """(R, t) -> twist [rho, phi] with t = V(phi) rho."""
+    phi = so3_log(r)
+    v_inv = _se3_v_inv(phi)
+    rho = v_inv @ t
+    return jnp.concatenate([rho, phi])
+
+
+def _se3_v_inv(phi: jax.Array) -> jax.Array:
+    theta2 = jnp.dot(phi, phi)
+    theta = jnp.sqrt(theta2)
+    k = hat(phi)
+    k2 = k @ k
+    small = theta < 1e-5
+    half = jnp.asarray(0.5, phi.dtype)
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    den = 2.0 * theta * jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t)
+    safe_den = jnp.where(small, 1.0, den)
+    c_generic = 1.0 / safe_t2 - (1.0 + cos_t) / safe_den
+    c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, c_generic)
+    return jnp.eye(3, dtype=phi.dtype) - half * k + c * k2
+
+
+def se3_inverse(r: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    rt = r.T
+    return rt, -(rt @ t)
+
+
+def se3_compose(r1, t1, r2, t2) -> tuple[jax.Array, jax.Array]:
+    """(R1,t1) * (R2,t2)."""
+    return r1 @ r2, r1 @ t2 + t1
+
+
+def se3_apply(r, t, p) -> jax.Array:
+    return r @ p + t
+
+
+def se3_matrix(r: jax.Array, t: jax.Array) -> jax.Array:
+    """(R,t) -> 4x4 homogeneous matrix."""
+    top = jnp.concatenate([r, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=r.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def rotation_orthonormalize(r: jax.Array) -> jax.Array:
+    """Project a near-rotation onto SO(3) via SVD (LieUtils.h:40-44).
+
+    Ensures det=+1.
+    """
+    u, _, vt = jnp.linalg.svd(r)
+    d = jnp.linalg.det(u @ vt)
+    u = u.at[:, 2].multiply(jnp.where(d < 0, -1.0, 1.0))
+    return u @ vt
+
+
+def slerp(r0: jax.Array, r1: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Geodesic interpolation between two rotations (LieUtils.h:313-350)."""
+    d = r0.T @ r1
+    phi = so3_log(d)
+    return r0 @ so3_exp(alpha * phi)
+
+
+def interpolate_pose(r0, t0, r1, t1, alpha):
+    """Slerp rotation + lerp translation (reference InterpolatePose)."""
+    r = slerp(r0, r1, alpha)
+    t = (1.0 - alpha) * t0 + alpha * t1
+    return r, t
+
+
+# Batched convenience wrappers -------------------------------------------------
+
+hat_b = jax.vmap(hat)
+so3_exp_b = jax.vmap(so3_exp)
+so3_log_b = jax.vmap(so3_log)
+se3_exp_b = jax.vmap(se3_exp)
+se3_log_b = jax.vmap(se3_log)
+se3_inverse_b = jax.vmap(se3_inverse)
+se3_compose_b = jax.vmap(se3_compose)
+so3_right_jacobian_b = jax.vmap(so3_right_jacobian)
