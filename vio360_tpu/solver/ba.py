@@ -1,0 +1,197 @@
+"""Windowed bundle adjustment: batched LM with Schur landmark elimination.
+
+Counterpart of ``Optimizer::RunBA`` / ``RunLocalBA``
+(Optimizer.cpp:304-491, 726-966) without Ceres. The window is a DENSE
+problem over [K keyframes, M landmarks] with an observation mask —
+at the reference's scale (K<=10, M~2000) the reduced camera system is
+(6K)x(6K) <= 60x60, so dense Schur on-chip is exact and MXU-friendly
+(SURVEY.md §7 design stance: no sparse structures needed).
+
+Per LM iteration:
+  1. relinearize: residuals [K,M,2], J_pose [K,M,2,6], J_pt [K,M,2,3]
+  2. robust weights (Huber(1.0) * info, >100 px latched) [K,M]
+  3. normal blocks  U_k  = sum_m J_p^T w J_p            [K,6,6]
+                    V_m  = sum_k J_l^T w J_l            [M,3,3]
+                    W_km = J_p^T w J_l                  [K,M,6,3]
+  4. Schur: S = U - W V^-1 W^T (reduced camera system), solve 6K dense,
+     back-substitute landmark updates dl = V^-1 (b_l - W^T dx)
+  5. LM accept/reject on the robust cost.
+
+Gauge handling matches the reference: fixed poses (first / oldest KF)
+and fixed landmarks (marginalized scale anchors) are masked out of the
+update; chi2 classification and bad-landmark marking (0 inliers & >=2
+outlier observations -> bad, never for marginalized) happen after the
+solve exactly as Optimizer.cpp:419-460.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from . import factors
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BaResult:
+    r_wb: jax.Array  # [K,3,3]
+    t_wb: jax.Array  # [K,3]
+    points: jax.Array  # [M,3]
+    num_inliers: jax.Array
+    num_outliers: jax.Array
+    new_bad: jax.Array  # [M] bool landmarks newly marked bad
+    outlier_obs: jax.Array  # [K,M] bool per-observation chi2 outliers
+    initial_cost: jax.Array
+    final_cost: jax.Array
+    num_iterations: jax.Array
+
+
+def _evaluate(r_wb, t_wb, points, obs, mask, r_cb, t_cb, width, height, inv_sigma2, huber_delta):
+    p_b, p_c = factors.transform_points(r_wb, t_wb, r_cb, t_cb, points)
+    res = factors.reprojection_residual(p_c, obs, width, height)  # [K,M,2]
+    c2 = factors.chi2(res, inv_sigma2)
+    d2 = huber_delta * huber_delta
+    rho = jnp.where(c2 <= d2, c2, 2.0 * huber_delta * jnp.sqrt(jnp.maximum(c2, 1e-20)) - d2)
+    cost = 0.5 * jnp.sum(jnp.where(mask, rho, 0.0))
+    return p_b, p_c, res, c2, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_iterations"),
+)
+def run_ba(
+    r_wb: jax.Array,  # [K,3,3] initial poses
+    t_wb: jax.Array,  # [K,3]
+    points: jax.Array,  # [M,3] initial landmarks
+    obs_uv: jax.Array,  # [K,M,2] observations
+    obs_mask: jax.Array,  # [K,M] bool (feature valid & not boundary & landmark ok)
+    fixed_pose: jax.Array,  # [K] bool (gauge anchors)
+    fixed_point: jax.Array,  # [M] bool (marginalized / bad / unused slots)
+    marginalized: jax.Array,  # [M] bool (never become bad)
+    r_cb: jax.Array,
+    t_cb: jax.Array,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    max_iterations: int = 50,
+) -> BaResult:
+    inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    k, m = obs_mask.shape
+
+    _, _, _, _, initial_cost = _evaluate(
+        r_wb, t_wb, points, obs_uv, obs_mask, r_cb, t_cb, width, height, inv_sigma2, huber_delta
+    )
+
+    def lm_cond(carry):
+        *_, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def lm_body(carry):
+        r, t, pts, lam, cost, it, done = carry
+        p_b, p_c, res, c2, _ = _evaluate(
+            r, t, pts, obs_uv, obs_mask, r_cb, t_cb, width, height, inv_sigma2, huber_delta
+        )
+        j_pose, j_pt = factors.reprojection_jacobians(p_b, p_c, r[:, None], r_cb, width, height)
+        w = factors.robust_weights(res, obs_mask, inv_sigma2, huber_delta)  # [K,M]
+
+        # Normal equation blocks
+        u_blk = jnp.einsum("kmic,km,kmid->kcd", j_pose, w, j_pose)  # [K,6,6]
+        v_blk = jnp.einsum("kmic,km,kmid->mcd", j_pt, w, j_pt)  # [M,3,3]
+        w_blk = jnp.einsum("kmic,km,kmid->kmcd", j_pose, w, j_pt)  # [K,M,6,3]
+        b_p = -jnp.einsum("kmic,km,kmi->kc", j_pose, w, res)  # [K,6]
+        b_l = -jnp.einsum("kmic,km,kmi->mc", j_pt, w, res)  # [M,3]
+
+        # LM damping on block diagonals
+        u_d = u_blk + lam * jnp.eye(6) * jnp.einsum("kcc->k", u_blk)[:, None, None] / 6.0
+        v_d = v_blk + lam * jnp.eye(3) * jnp.einsum("mcc->m", v_blk)[:, None, None] / 3.0
+        v_d = v_d + 1e-8 * jnp.eye(3)
+
+        # Landmark inverse; fixed landmarks contribute nothing and don't move.
+        v_inv = jnp.linalg.inv(v_d)  # [M,3,3]
+        v_inv = jnp.where(fixed_point[:, None, None], 0.0, v_inv)
+
+        # Reduced camera system S [K,6,K,6]
+        wv = jnp.einsum("kmcd,mde->kmce", w_blk, v_inv)  # [K,M,6,3]
+        s_off = jnp.einsum("kmce,lmfe->klcf", wv, w_blk)  # [K,K,6,6]
+        s = -s_off
+        s = s.at[jnp.arange(k), jnp.arange(k)].add(u_d)
+        rhs = b_p - jnp.einsum("kmce,me->kc", wv, b_l)  # [K,6]
+
+        # Gauge: zero rows/cols of fixed poses, identity diagonal.
+        free_p = (~fixed_pose).astype(s.dtype)
+        s = s * free_p[:, None, None, None] * free_p[None, :, None, None]
+        s = s.at[jnp.arange(k), jnp.arange(k)].add(
+            jnp.eye(6) * fixed_pose[:, None, None].astype(s.dtype)
+        )
+        rhs = rhs * free_p[:, None]
+
+        s_mat = s.transpose(0, 2, 1, 3).reshape(k * 6, k * 6)  # [K,K,6,6]->[6K,6K]
+        dx = jnp.linalg.solve(s_mat, rhs.reshape(k * 6)).reshape(k, 6)
+        dx = jnp.where(fixed_pose[:, None], 0.0, dx)
+        dl = jnp.einsum("mde,me->md", v_inv, b_l - jnp.einsum("kmcd,kc->md", w_blk, dx))
+        dl = jnp.where(fixed_point[:, None], 0.0, dl)
+
+        dr_dt = jax.vmap(lie.se3_exp)(dx)
+        r_new, t_new = jax.vmap(lie.se3_compose)(r, t, dr_dt[0], dr_dt[1])
+        pts_new = pts + dl
+
+        _, _, _, _, new_cost = _evaluate(
+            r_new, t_new, pts_new, obs_uv, obs_mask, r_cb, t_cb, width, height,
+            inv_sigma2, huber_delta,
+        )
+        accept = new_cost < cost
+        r = jnp.where(accept, r_new, r)
+        t = jnp.where(accept, t_new, t)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        step_small = (jnp.sum(dx * dx) + jnp.sum(dl * dl)) < 1e-14
+        rel_drop = (cost - new_cost) < 1e-6 * cost
+        done = accept & (step_small | rel_drop)
+        cost = jnp.where(accept, new_cost, cost)
+        return (r, t, pts, lam, cost, it + 1, done)
+
+    r_fin, t_fin, pts_fin, _, final_cost, iters, _ = jax.lax.while_loop(
+        lm_cond,
+        lm_body,
+        (
+            r_wb,
+            t_wb,
+            points,
+            jnp.asarray(1e-4, jnp.float32),
+            initial_cost,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        ),
+    )
+
+    # Post-solve chi2 classification (Optimizer.cpp:419-460)
+    _, _, _, c2, _ = _evaluate(
+        r_fin, t_fin, pts_fin, obs_uv, obs_mask, r_cb, t_cb, width, height,
+        inv_sigma2, huber_delta,
+    )
+    outlier_obs = obs_mask & (c2 > chi2_threshold)
+    inlier_obs = obs_mask & ~outlier_obs
+    inl_per_lm = jnp.sum(inlier_obs, axis=0)
+    outl_per_lm = jnp.sum(outlier_obs, axis=0)
+    new_bad = (~marginalized) & (~fixed_point) & (inl_per_lm == 0) & (outl_per_lm >= 2)
+
+    return BaResult(
+        r_wb=r_fin,
+        t_wb=t_fin,
+        points=pts_fin,
+        num_inliers=jnp.sum(inlier_obs).astype(jnp.int32),
+        num_outliers=jnp.sum(outlier_obs).astype(jnp.int32),
+        new_bad=new_bad,
+        outlier_obs=outlier_obs,
+        initial_cost=initial_cost,
+        final_cost=final_cost,
+        num_iterations=iters,
+    )

@@ -1,0 +1,153 @@
+"""Single-pose PnP via on-manifold Levenberg–Marquardt.
+
+Counterpart of ``Optimizer::SolvePnP`` (Optimizer.cpp:83-302) without
+Ceres: 4 rounds of [LM solve -> chi2 classification], outliers latched
+across rounds, marginalized landmarks never outliers, Huber(1.0),
+info = I/sigma_px^2, >=10 inliers required else the predicted pose is
+kept. Each round restarts from the *initial* pose with zero
+perturbation, exactly like the reference's re-zeroed parameter block
+(Optimizer.cpp:189-191).
+
+Everything is fixed-shape: observations live in [N] arrays with an
+active mask; the LM loop is a ``lax.while_loop`` over a 6x6 damped
+normal-equation solve — one jit, no recompiles across frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from . import factors
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PnpResult:
+    r_wb: jax.Array  # [3,3] optimized (or kept) pose
+    t_wb: jax.Array  # [3]
+    success: jax.Array  # [] bool
+    num_inliers: jax.Array  # [] int32
+    num_outliers: jax.Array  # [] int32
+    outlier: jax.Array  # [N] bool latched outlier flags
+    final_cost: jax.Array  # [] f32 mean inlier chi2
+
+
+def _evaluate(r_wb, t_wb, points, obs, active, r_cb, t_cb, width, height, inv_sigma2, huber_delta):
+    p_b, p_c = factors.transform_points(r_wb[None], t_wb[None], r_cb, t_cb, points)
+    res = factors.reprojection_residual(p_c[0], obs, width, height)  # [N,2]
+    c2 = factors.chi2(res, inv_sigma2)
+    # Ceres total cost: 1/2 sum rho(chi2)
+    delta2 = huber_delta * huber_delta
+    rho = jnp.where(c2 <= delta2, c2, 2.0 * huber_delta * jnp.sqrt(jnp.maximum(c2, 1e-20)) - delta2)
+    cost = 0.5 * jnp.sum(jnp.where(active, rho, 0.0))
+    return p_b[0], p_c[0], res, c2, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "rounds", "max_iterations", "min_inliers"),
+)
+def solve_pnp(
+    r_wb_init: jax.Array,  # [3,3]
+    t_wb_init: jax.Array,  # [3]
+    points_w: jax.Array,  # [N,3] landmark positions
+    obs_uv: jax.Array,  # [N,2] observations
+    active: jax.Array,  # [N] bool (valid feat & landmark & not boundary)
+    marginalized: jax.Array,  # [N] bool (never outliers, Optimizer.cpp:218-220)
+    r_cb: jax.Array,  # [3,3]
+    t_cb: jax.Array,  # [3]
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    rounds: int = 4,
+    max_iterations: int = 50,
+    min_inliers: int = 10,
+) -> PnpResult:
+    inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    n = points_w.shape[0]
+    enough = jnp.sum(active) >= 6  # Optimizer.cpp:127
+
+    outlier = jnp.zeros((n,), bool)
+    r_fin, t_fin = r_wb_init, t_wb_init
+    final_cost = jnp.asarray(0.0, jnp.float32)
+
+    for _ in range(rounds):
+        use = active & ~outlier
+
+        def lm_cond(carry):
+            r, t, lam, cost, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def lm_body(carry):
+            r, t, lam, cost, it, done = carry
+            p_b, p_c, res, c2, _ = _evaluate(
+                r, t, points_w, obs_uv, use, r_cb, t_cb, width, height, inv_sigma2, huber_delta
+            )
+            j_pose, _ = factors.reprojection_jacobians(p_b, p_c, r, r_cb, width, height)
+            w = factors.robust_weights(res, use, inv_sigma2, huber_delta)  # [N]
+            h = jnp.einsum("nic,n,nid->cd", j_pose, w, j_pose)  # [6,6]
+            g = jnp.einsum("nic,n,ni->c", j_pose, w, res)  # [6]
+            damped = h + lam * jnp.diag(jnp.diag(h)) + 1e-10 * jnp.eye(6)
+            delta = -jnp.linalg.solve(damped, g)
+            dr, dt = lie.se3_exp(delta)
+            r_new, t_new = lie.se3_compose(r, t, dr, dt)
+            _, _, _, _, new_cost = _evaluate(
+                r_new, t_new, points_w, obs_uv, use, r_cb, t_cb, width, height,
+                inv_sigma2, huber_delta,
+            )
+            accept = new_cost < cost
+            r = jnp.where(accept, r_new, r)
+            t = jnp.where(accept, t_new, t)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+            step_small = jnp.sum(delta * delta) < 1e-16
+            rel_drop = (cost - new_cost) < 1e-6 * cost
+            done = accept & (step_small | rel_drop)
+            cost = jnp.where(accept, new_cost, cost)
+            return (r, t, lam, cost, it + 1, done)
+
+        _, _, _, _, init_cost = _evaluate(
+            r_wb_init, t_wb_init, points_w, obs_uv, use, r_cb, t_cb, width, height,
+            inv_sigma2, huber_delta,
+        )
+        r_sol, t_sol, _, _, _, _ = jax.lax.while_loop(
+            lm_cond,
+            lm_body,
+            (r_wb_init, t_wb_init, jnp.asarray(1e-4, jnp.float32), init_cost,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        )
+
+        # chi2 classification at the solution (raw wrapped residuals)
+        _, _, _, c2, _ = _evaluate(
+            r_sol, t_sol, points_w, obs_uv, active, r_cb, t_cb, width, height,
+            inv_sigma2, huber_delta,
+        )
+        outlier = active & ~marginalized & (c2 > chi2_threshold)
+        r_fin, t_fin = r_sol, t_sol
+        inlier_mask = active & ~outlier
+        n_inl = jnp.sum(inlier_mask)
+        final_cost = jnp.sum(jnp.where(inlier_mask, c2, 0.0)) / jnp.maximum(n_inl, 1)
+
+    inlier_mask = active & ~outlier
+    num_inliers = jnp.sum(inlier_mask).astype(jnp.int32)
+    num_outliers = jnp.sum(outlier).astype(jnp.int32)
+    success = enough & (num_inliers >= min_inliers)
+
+    # Keep the predicted pose on failure (Optimizer.cpp:283-291)
+    r_out = jnp.where(success, r_fin, r_wb_init)
+    t_out = jnp.where(success, t_fin, t_wb_init)
+    return PnpResult(
+        r_wb=r_out,
+        t_wb=t_out,
+        success=success,
+        num_inliers=num_inliers,
+        num_outliers=num_outliers,
+        outlier=outlier,
+        final_cost=final_cost,
+    )
