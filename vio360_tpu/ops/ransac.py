@@ -26,6 +26,22 @@ import jax.numpy as jnp
 from ..geometry.essential import enforce_rank2, epipolar_errors, solve_eight_point
 
 
+def _sample_valid(key: jax.Array, valid: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """Draw indices uniformly from the VALID entries (fixed-shape).
+
+    Sampling over raw capacity would make most hypotheses degenerate
+    whenever the valid density is low ((density)^8 survival for the
+     8-point sampler); instead draw ranks into the compacted valid-index
+    list. Duplicates remain possible and are filtered by the caller's
+    degeneracy check.
+    """
+    n = valid.shape[0]
+    valid_idx = jnp.nonzero(valid, size=n, fill_value=0)[0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    ranks = jax.random.randint(key, shape, 0, n_valid)
+    return valid_idx[ranks]
+
+
 def _kabsch_rotation(b1: jax.Array, b2: jax.Array) -> jax.Array:
     """Best rotation R with b2 ~= R b1 from paired unit vectors [S, 3]."""
     h = b1.T @ b2  # [3,3] correlation
@@ -51,7 +67,7 @@ def rotation_ransac(
     hypothesis (hypotheses touching them are discarded).
     """
     n = bearings_prev.shape[0]
-    idx = jax.random.randint(key, (iterations, 3), 0, n)
+    idx = _sample_valid(key, valid, (iterations, 3))
 
     samp_ok = jnp.all(valid[idx], axis=-1)
     # Degenerate if two sampled indices coincide.
@@ -88,7 +104,7 @@ def essential_ransac(
     the shape stays [N, 9].
     """
     n = bearings1.shape[0]
-    idx = jax.random.randint(key, (iterations, 8), 0, n)
+    idx = _sample_valid(key, valid, (iterations, 8))
     samp_ok = jnp.all(valid[idx], axis=-1)
     # Pairwise-distinct check over the 8 samples.
     pair_eq = idx[:, :, None] == idx[:, None, :]
