@@ -78,6 +78,40 @@ def make_trajectory(n_frames: int, step: float = 0.08, rot_step: float = 0.01):
     return np.stack(rs), np.stack(ts)
 
 
+def render_point_image(
+    points_w: np.ndarray,  # [M,3]
+    r_wc: np.ndarray,  # [3,3]
+    t_wc: np.ndarray,  # [3] camera center
+    width: int,
+    height: int,
+    sigma: float = 1.2,
+    half: int = 4,
+) -> jnp.ndarray:
+    """Render a dense trackable image: Gaussian blob per visible landmark.
+
+    Gives real parallax under translation (unlike the rotated panorama),
+    so the full VO loop — LK, init, PnP, BA — can run end-to-end on
+    images with known ground truth.
+    """
+    p_c = (points_w - t_wc) @ r_wc  # R_cw = R_wc^T
+    uv = np.asarray(cam.project(jnp.asarray(p_c, jnp.float32), width, height))
+    m = points_w.shape[0]
+    r = np.arange(-half, half + 1)
+    dv, du = np.meshgrid(r, r, indexing="ij")
+    offs = np.stack([du.reshape(-1), dv.reshape(-1)], -1)  # [P,2]
+    centers = np.floor(uv).astype(np.int64)
+    frac = uv - centers
+    pix = centers[:, None, :] + offs[None, :, :]  # [M,P,2]
+    d = offs[None] - frac[:, None, :]
+    val = np.exp(-(d[..., 0] ** 2 + d[..., 1] ** 2) / (2 * sigma**2))
+    px = np.mod(pix[..., 0], width)
+    py = pix[..., 1]
+    ok = (py >= 0) & (py < height)
+    img = np.zeros((height, width), np.float32)
+    np.add.at(img, (py[ok], px[ok]), val[ok])
+    return jnp.asarray(np.clip(img, 0.0, 1.0))
+
+
 def project_tracks(
     points_w: np.ndarray,  # [M, 3]
     rs_wc: np.ndarray,  # [T, 3, 3] camera-to-world rotations

@@ -1,0 +1,116 @@
+"""Command-line VO/VIO runner.
+
+Counterpart of the reference's ``app/main.cpp`` (dataset loading, main
+loop, ``main.cpp:121-236``) minus the Pangolin GUI: results go to a
+TUM trajectory file + JSONL per-frame metrics instead of a window
+(SURVEY.md §5: trajectory export is required to compute ATE at all).
+
+Usage::
+
+    python -m vio360_tpu <dataset_dir> [--config cfg.yaml]
+        [--output traj.tum] [--metrics metrics.jsonl] [--max-frames N]
+
+Dataset layout (build.sh:63 convention)::
+
+    dataset_dir/cam_timestamps.txt
+    dataset_dir/imu_data.csv        (optional)
+    dataset_dir/images/*.png|npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="vio360", description="TPU-native 360 visual-inertial odometry"
+    )
+    p.add_argument("dataset_dir", help="dataset directory (images/ + cam_timestamps.txt)")
+    p.add_argument("--config", default=None, help="reference-format YAML config")
+    p.add_argument("--output", default="trajectory.tum", help="TUM trajectory output path")
+    p.add_argument("--metrics", default=None, help="JSONL per-frame metrics path")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    if not os.path.isdir(args.dataset_dir):
+        print(f"error: dataset directory not found: {args.dataset_dir}", file=sys.stderr)
+        return 2
+    ts_file = os.path.join(args.dataset_dir, "cam_timestamps.txt")
+    img_dir = os.path.join(args.dataset_dir, "images")
+    if not os.path.isfile(ts_file):
+        print(f"error: missing {ts_file}", file=sys.stderr)
+        return 2
+    if not os.path.isdir(img_dir):
+        print(f"error: missing images directory {img_dir}", file=sys.stderr)
+        return 2
+
+    from . import config as cfgmod
+    from .estimator.estimator import Estimator
+    from .io import dataset as ds
+    from .io import trajectory as tio
+    from .utils.logging import MetricsWriter, get_logger
+
+    log = get_logger("vio360.cli")
+    if args.config:
+        if not os.path.isfile(args.config):
+            print(f"error: config not found: {args.config}", file=sys.stderr)
+            return 2
+        cfg = cfgmod.load_yaml(args.config)
+    else:
+        cfg = cfgmod.VioConfig()
+
+    data = ds.VioDataset(args.dataset_dir, image_size=(cfg.camera.width, cfg.camera.height))
+    n = len(data)
+    if n == 0:
+        print("error: dataset contains no frames", file=sys.stderr)
+        return 2
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    log.info("dataset: %d frames, %d IMU samples", n, data.imu.shape[0])
+
+    est = Estimator(cfg)
+    metrics = MetricsWriter(args.metrics)
+    t0 = time.time()
+    n_kf = 0
+    for frame in data:
+        if frame.index >= n:
+            break
+        res = est.process_frame(frame.image, frame.timestamp, frame.imu)
+        n_kf += int(res.is_keyframe)
+        metrics.write(
+            frame=res.frame_id,
+            t=res.timestamp,
+            state=res.state,
+            keyframe=res.is_keyframe,
+            tracked=res.n_tracked,
+            inliers=res.n_pnp_inliers,
+            **{k: v for k, v in res.diag.items() if np.isscalar(v)},
+        )
+        if not args.quiet and (res.frame_id % 10 == 0 or res.is_keyframe):
+            log.info(
+                "frame %4d  %-13s tracked=%4d inliers=%4d%s",
+                res.frame_id, res.state, res.n_tracked, res.n_pnp_inliers,
+                "  [KF]" if res.is_keyframe else "",
+            )
+    wall = time.time() - t0
+    metrics.close()
+
+    ts, rs, ps = est.export_trajectory()
+    tio.write_tum(args.output, ts, rs, ps)
+    log.info(
+        "done: %d frames in %.1fs (%.2f fps), %d keyframes, %d landmarks -> %s",
+        len(ts), wall, len(ts) / max(wall, 1e-9), n_kf,
+        int(est.win.lm_alive.sum()), args.output,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,6 +65,12 @@ class TrackingConfig:
     min_features_ratio: float = 0.5
     min_parallax_for_keyframe: float = 10.0
     redetect_below: int = 100  # Estimator.cpp:371-373
+    # Extra keyframe trigger (beyond the reference's parallax-only rule):
+    # create a keyframe when PnP inliers fall below this fraction of the
+    # active map observations — keeps the local map fresh when features
+    # churn faster than parallax accumulates. Set to 0 for strict
+    # reference behavior.
+    kf_min_inlier_ratio: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
