@@ -63,34 +63,39 @@ def so3_log(r: jax.Array) -> jax.Array:
     """Rotation matrix [3,3] -> axis-angle [3].
 
     Robust near theta=0 and theta=pi (uses the diagonal method at pi,
-    mirroring the reference's LieUtils SO3 Log behavior).
+    mirroring the reference's LieUtils SO3 Log behavior), and SAFE
+    UNDER AUTODIFF: arccos is only evaluated away from +-1 (double-
+    where pattern), and the small-angle branch is expressed in terms of
+    |w| so jacfwd/jacrev at the identity yields the correct 0.5*vee
+    Jacobian instead of NaN (needed by the inertial factors).
     """
     trace = r[0, 0] + r[1, 1] + r[2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w = jnp.stack([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
 
-    # Generic: phi = theta / (2 sin theta) * vee(R - R^T)
-    sin_theta = jnp.sin(theta)
-    safe_sin = jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta)
-    generic = w * (theta / (2.0 * safe_sin))
-    # Small angle: phi ~ 0.5 * w * (1 + theta^2/6)
-    small = 0.5 * w * (1.0 + theta * theta / 6.0)
+    is_small = cos_theta > 1.0 - 1e-6
+    is_pi = cos_theta < -1.0 + 1e-6
+    safe_cos = jnp.where(is_small | is_pi, 0.0, cos_theta)
+    theta_safe = jnp.arccos(safe_cos)  # derivative finite everywhere used
+    sin_safe = jnp.sin(theta_safe)
+    generic = w * (theta_safe / (2.0 * sin_safe))
 
-    # Near pi: use R + I diagonal method. axis_i = sqrt((R_ii + 1)/2)
+    # Small angle: |w| = 2 sin(theta) => phi = w/2 * (1 + |w|^2/24 + ...)
+    w2 = jnp.dot(w, w)
+    small = 0.5 * w * (1.0 + w2 / 24.0)
+
+    # Near pi: R + I diagonal method (gradient not needed there).
+    theta_pi = jnp.arccos(jnp.clip(cos_theta, -1.0, 0.0))
     diag = jnp.stack([r[0, 0], r[1, 1], r[2, 2]])
     axis_sq = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
     k = jnp.argmax(axis_sq)
     ax = jnp.sqrt(jnp.maximum(axis_sq[k], _EPS))
     col = (r[:, k] + jnp.eye(3, dtype=r.dtype)[:, k]) / (2.0 * ax)
     col = col / jnp.maximum(jnp.linalg.norm(col), _EPS)
-    # Fix sign so that it is consistent with w (w ~ 2 sin(theta) axis -> 0 at pi;
-    # any sign is a valid log at exactly pi).
     sign = jnp.where(jnp.dot(col, w) < 0.0, -1.0, 1.0)
-    near_pi = theta * sign * col
+    near_pi = theta_pi * sign * col
 
-    phi = jnp.where(theta < 1e-5, small, jnp.where(jnp.pi - theta < 1e-4, near_pi, generic))
-    return phi
+    return jnp.where(is_small, small, jnp.where(is_pi, near_pi, generic))
 
 
 def so3_right_jacobian(phi: jax.Array) -> jax.Array:
