@@ -119,7 +119,7 @@ class TestImuInit:
         r_wg = imu_init.gravity_dir_to_rotation(res.gravity_dir)
         pts = kf_t  # reuse keyframe positions as stand-in landmarks
         r2, t2, v2, p2 = imu_init.align_gravity_and_scale(
-            kf_r, kf_t, res.scale * res.velocities, pts, r_wg, res.scale
+            kf_r, kf_t, res.velocities, pts, r_wg, res.scale
         )
         # After alignment: displacements are metric
         d_est = np.linalg.norm(np.diff(np.asarray(t2), axis=0), axis=1)

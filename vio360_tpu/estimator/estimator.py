@@ -36,7 +36,10 @@ from ..config import VioConfig
 from ..frontend import tracker
 from ..geometry import camera as cam_g
 from ..geometry import lie
+from ..imu import preintegration as pre
+from ..solver import imu_init as imu_init_mod
 from ..solver import pnp as pnp_mod
+from ..solver import viba as viba_mod
 from ..utils.logging import get_logger
 from . import initializer, window
 
@@ -107,13 +110,26 @@ class Estimator:
         self.t_prev = jnp.zeros(3)
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
 
+        # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
+        self.imu_initialized = False
+        self.scale_refine_count = 0  # ORB-SLAM3-style periodic refinements
+        self.vel_cur = jnp.zeros(3)
+        self.bg = jnp.zeros(3)
+        self.ba = jnp.zeros(3)
+        self.gravity_w = jnp.array([0.0, 0.0, -cfg.imu.gravity_magnitude])
+        self.imu_since_last_kf: list[np.ndarray] = []  # rows (t,ax..gz)
+        # preintegration for window KF pair (i, i+1), host list parallel
+        # to the window's keyframe pairs
+        self.kf_preints: list[pre.Preintegration] = []
+        self.last_timestamp: float | None = None
+
     # ------------------------------------------------------------------
 
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def _snapshot(self, timestamp: float) -> dict[str, Any]:
+    def _snapshot(self, timestamp: float, imu: np.ndarray | None = None) -> dict[str, Any]:
         t = self.track
         return {
             "uv": t.uv,
@@ -123,12 +139,52 @@ class Estimator:
             "age": t.age,
             "time": timestamp,
             "frame_id": self.frame_id,
+            "imu": np.zeros((0, 7)) if imu is None else np.asarray(imu, np.float64),
         }
+
+    def _preintegrate(
+        self, rows: np.ndarray, bg: jax.Array, ba: jax.Array, cap: int
+    ) -> pre.Preintegration:
+        """Fixed-shape preintegration of host-side IMU rows."""
+        icfg = self.cfg.imu
+        s = np.zeros((cap, 7), np.float32)
+        m = np.zeros(cap, bool)
+        n = min(len(rows), cap)
+        if n:
+            s[:n] = rows[-n:]
+            m[:n] = True
+        return pre.preintegrate(
+            jnp.asarray(s), jnp.asarray(m), bg, ba,
+            gyro_noise=icfg.gyro_noise, accel_noise=icfg.accel_noise,
+            gyro_bias_noise=icfg.gyro_bias_noise,
+            accel_bias_noise=icfg.accel_bias_noise,
+            min_dt=icfg.min_dt, max_dt=icfg.max_dt,
+        )
 
     def _record(self, timestamp: float):
         self.trajectory.append(
             (timestamp, np.asarray(self.r_cur), np.asarray(self.t_cur))
         )
+
+    def _transform_history(self, r_wg: jax.Array, scale: jax.Array):
+        """Re-express the recorded trajectory + current pose in the new
+        (gravity-aligned, rescaled) world frame so the export stays in
+        ONE frame across alignments. Anchored at the first keyframe like
+        align_gravity_and_scale."""
+        r_gw = np.asarray(r_wg).T
+        s = float(scale)
+        t_anchor = r_gw @ np.asarray(self.win.kf_t[0])
+        self.trajectory = [
+            (t, r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
+            for (t, r, p) in self.trajectory
+        ]
+        r_gw_j = jnp.asarray(r_gw)
+        t_anchor_j = jnp.asarray(t_anchor, jnp.float32)
+        for attr in ("r_cur", "r_prev"):
+            setattr(self, attr, r_gw_j @ getattr(self, attr))
+        for attr in ("t_cur", "t_prev"):
+            setattr(self, attr, t_anchor_j + (r_gw_j @ getattr(self, attr) - t_anchor_j) * s)
+        self.vel_cur = (r_gw_j @ self.vel_cur) * s
 
     # ------------------------------------------------------------------
 
@@ -138,11 +194,20 @@ class Estimator:
         self.frame_id += 1
         img = jnp.asarray(image, jnp.float32)
         cfg = self.cfg
+        imu_rows = (
+            np.asarray(imu, np.float64).reshape(-1, 7)
+            if imu is not None and len(imu)
+            else np.zeros((0, 7))
+        )
+        if len(imu_rows):
+            self.imu_since_last_kf.append(imu_rows)
+        self.last_imu_rows = imu_rows
+        self.last_timestamp = timestamp
 
         if self.img_prev is None:
             self.track = tracker.bootstrap_frame(self.track, img, jnp.asarray(timestamp), cfg)
             self.img_prev = img
-            self.snapshots = [self._snapshot(timestamp)]
+            self.snapshots = [self._snapshot(timestamp, imu_rows)]
             self._record(timestamp)
             return self._result(timestamp, "bootstrapping", False, 0, 0, {})
 
@@ -153,14 +218,14 @@ class Estimator:
         n_tracked = int(tdiag["n_tracked"])
 
         if not self.initialized:
-            return self._bootstrap_step(timestamp, n_tracked, tdiag)
+            return self._bootstrap_step(timestamp, n_tracked, tdiag, imu_rows)
         return self._tracking_step(timestamp, n_tracked, tdiag)
 
     # ------------------------------------------------------------------
 
-    def _bootstrap_step(self, timestamp, n_tracked, tdiag) -> FrameResult:
+    def _bootstrap_step(self, timestamp, n_tracked, tdiag, imu_rows) -> FrameResult:
         cfg = self.cfg
-        self.snapshots.append(self._snapshot(timestamp))
+        self.snapshots.append(self._snapshot(timestamp, imu_rows))
         if len(self.snapshots) > cfg.init.window_size:
             self.snapshots.pop(0)
 
@@ -180,12 +245,22 @@ class Estimator:
             )
             if bool(res.success):
                 self._seed_from_init(first, last, res, timestamp)
+                diag = {
+                    "median_parallax": float(res.median_parallax),
+                    "scale_factor": float(res.scale_factor),
+                }
+                has_imu = any(len(s["imu"]) for s in self.snapshots)
+                if has_imu:
+                    # VIO path: promote all window frames to keyframes and
+                    # initialize gravity/scale/velocities/biases
+                    # (Estimator.cpp:282-287, 845-1019, 1320-1399)
+                    self._promote_window_frames(res)
+                    imu_ok = self._try_initialize_imu()
+                    diag["imu_initialized"] = imu_ok
                 self._record(timestamp)
                 return self._result(
                     timestamp, "initialized", True, n_tracked,
-                    int(res.num_valid_points),
-                    {"median_parallax": float(res.median_parallax),
-                     "scale_factor": float(res.scale_factor)},
+                    int(res.num_valid_points), diag,
                 )
         self._record(timestamp)
         return self._result(timestamp, "bootstrapping", False, n_tracked, 0, {})
@@ -224,15 +299,155 @@ class Estimator:
         )
 
     # ------------------------------------------------------------------
+    # VIO: window promotion + IMU initialization (Estimator.cpp:845-1019,
+    # 1320-1399, 1436-1557)
+    # ------------------------------------------------------------------
+
+    def _promote_window_frames(self, res: initializer.InitResult):
+        """Promote all bootstrap-window frames to keyframes: interpolate
+        poses, refine each by PnP, wire per-pair preintegrations."""
+        cfg = self.cfg
+        w, h = cfg.camera.width, cfg.camera.height
+        snaps = self.snapshots[-cfg.window.max_keyframes :]
+        n = len(snaps)
+        zeros = jnp.zeros(3)
+
+        self.win = window.empty_window(
+            cfg.window.max_keyframes, cfg.window.max_landmarks, self.capacity
+        )
+        self.kf_preints = []
+        r0, t0v = jnp.eye(3), jnp.zeros(3)
+        r_n, t_n = res.r_wb2, res.t_wb2
+        t_first, t_last = snaps[0]["time"], snaps[-1]["time"]
+
+        self.win = window.add_keyframe(
+            self.win, r0, t0v, zeros, zeros, zeros,
+            jnp.asarray(t_first, jnp.float32), jnp.asarray(snaps[0]["frame_id"]),
+            snaps[0]["uv"], snaps[0]["ids"],
+        )
+        self.win = window.add_landmarks(
+            self.win, res.points_w, res.point_valid, snaps[-1]["ids"], self.win.kf_id[0]
+        )
+
+        for i in range(1, n):
+            s = snaps[i]
+            if i == n - 1:
+                r_i, t_i = r_n, t_n
+            else:
+                alpha = (s["time"] - t_first) / max(t_last - t_first, 1e-9)
+                r_i, t_i = lie.interpolate_pose(r0, t0v, r_n, t_n, alpha)
+                points, active, marg = _pnp_inputs(self.win, s["ids"], s["valid"], s["uv"])
+                active &= ~cam_g.is_near_boundary(s["uv"], w, h, cfg.camera.boundary_margin)
+                pr = pnp_mod.solve_pnp(
+                    r_i, t_i, points, s["uv"], active, marg, self.r_cb, self.t_cb, w, h,
+                    rounds=cfg.window.pnp_rounds,
+                    max_iterations=cfg.window.max_lm_iterations,
+                    min_inliers=cfg.window.pnp_min_inliers,
+                )
+                if bool(pr.success):
+                    r_i, t_i = pr.r_wb, pr.t_wb
+            self.win = window.add_keyframe(
+                self.win, r_i, t_i, zeros, zeros, zeros,
+                jnp.asarray(s["time"], jnp.float32), jnp.asarray(s["frame_id"]),
+                s["uv"], s["ids"],
+            )
+            self.kf_preints.append(
+                self._preintegrate(s["imu"], self.bg, self.ba, cfg.imu.max_samples_per_frame)
+            )
+
+        self.win, _ = window.window_ba(
+            self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
+            max_iterations=cfg.window.max_lm_iterations,
+        )
+        i_last = int(self.win.n_kf) - 1
+        self.r_cur = self.win.kf_r[i_last]
+        self.t_cur = self.win.kf_t[i_last]
+        self.r_prev, self.t_prev = self.r_cur, self.t_cur
+        self.imu_since_last_kf = []
+
+    def _stacked_preints(self):
+        """Pad host preintegration list to the fixed max_kf-1 pair count."""
+        cfg = self.cfg
+        n_pairs = cfg.window.max_keyframes - 1
+        pres = list(self.kf_preints[:n_pairs])
+        n_real = len(pres)
+        while len(pres) < n_pairs:
+            pres.append(pre.identity_preintegration())
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        valid = (
+            (jnp.arange(n_pairs) < n_real)
+            & (stacked.dt_total > 0.001)
+            & (stacked.dt_total < 2.0)
+        )
+        return stacked, valid
+
+    def _try_initialize_imu(self) -> bool:
+        cfg = self.cfg
+        k = int(self.win.n_kf)
+        if k < 3 or len(self.kf_preints) != k - 1:
+            return False
+        stacked, pair_valid = self._stacked_preints()
+        res = imu_init_mod.solve_imu_init(
+            self.win.kf_r, self.win.kf_t, stacked, pair_valid,
+            gravity_magnitude=cfg.imu.gravity_magnitude,
+        )
+        if not bool(res.success):
+            log.info("IMU init failed (cost1=%.3g)", float(res.stage1_cost))
+            return False
+        r_wg = imu_init_mod.gravity_dir_to_rotation(res.gravity_dir)
+        self._transform_history(r_wg, res.scale)
+        kf_r2, kf_t2, vel2, pts2 = imu_init_mod.align_gravity_and_scale(
+            self.win.kf_r, self.win.kf_t, res.velocities, self.win.lm_pos,
+            r_wg, res.scale,
+        )
+        kf_ok = self.win.kf_id >= 0
+        self.win = dataclasses.replace(
+            self.win,
+            kf_r=jnp.where(kf_ok[:, None, None], kf_r2, self.win.kf_r),
+            kf_t=jnp.where(kf_ok[:, None], kf_t2, self.win.kf_t),
+            kf_vel=jnp.where(kf_ok[:, None], vel2, self.win.kf_vel),
+            lm_pos=jnp.where(self.win.lm_alive[:, None], pts2, self.win.lm_pos),
+        )
+        self.bg = res.bg
+        self.ba = res.ba
+        self.gravity_w = jnp.array([0.0, 0.0, -cfg.imu.gravity_magnitude])
+        self.kf_preints = [
+            pre.update_bias(p, self.bg, self.ba) for p in self.kf_preints
+        ]
+        i_last = int(self.win.n_kf) - 1
+        self.r_cur = self.win.kf_r[i_last]
+        self.t_cur = self.win.kf_t[i_last]
+        self.r_prev, self.t_prev = self.r_cur, self.t_cur
+        self.vel_cur = self.win.kf_vel[i_last]
+        self.imu_initialized = True
+        log.info(
+            "IMU init: scale=%.4f g=(%.2f,%.2f,%.2f) bg=%s",
+            float(res.scale), *[float(x) for x in res.gravity_w],
+            np.round(np.asarray(res.bg), 4),
+        )
+        return True
+
+    # ------------------------------------------------------------------
 
     def _tracking_step(self, timestamp, n_tracked, tdiag) -> FrameResult:
         cfg = self.cfg
         w, h = cfg.camera.width, cfg.camera.height
 
-        # Constant-velocity prediction: T_pred = T_cur * (T_prev^-1 T_cur)
-        ri, ti = lie.se3_inverse(self.r_prev, self.t_prev)
-        dr, dt = lie.se3_compose(ri, ti, self.r_cur, self.t_cur)
-        r_pred, t_pred = lie.se3_compose(self.r_cur, self.t_cur, dr, dt)
+        # Pose prediction: IMU propagation when initialized
+        # (Estimator.cpp:429-471), else constant-velocity
+        # (Estimator.cpp:318-334).
+        v_pred = self.vel_cur
+        if self.imu_initialized and len(self.last_imu_rows):
+            pf = self._preintegrate(
+                self.last_imu_rows, self.bg, self.ba, cfg.imu.max_samples_per_frame
+            )
+            r_pred, t_pred, v_pred = pre.predict_state(
+                self.r_cur, self.t_cur, self.vel_cur, pf, self.gravity_w
+            )
+        else:
+            ri, ti = lie.se3_inverse(self.r_prev, self.t_prev)
+            dr, dt = lie.se3_compose(ri, ti, self.r_cur, self.t_cur)
+            r_pred, t_pred = lie.se3_compose(self.r_cur, self.t_cur, dr, dt)
 
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         points, active, marg = _pnp_inputs(self.win, ids, self.track.valid, self.track.uv)
@@ -249,6 +464,7 @@ class Estimator:
         )
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = res.r_wb, res.t_wb
+        self.vel_cur = v_pred
         pnp_ok = bool(res.success)
         n_inl = int(res.num_inliers)
 
@@ -289,20 +505,52 @@ class Estimator:
         cfg = self.cfg
         zeros = jnp.zeros(3)
         ids = jnp.where(self.track.valid, self.track.ids, -1)
+        was_full = int(self.win.n_kf) == cfg.window.max_keyframes
         self.win = window.add_keyframe(
-            self.win, self.r_cur, self.t_cur, zeros, zeros, zeros,
+            self.win, self.r_cur, self.t_cur, self.vel_cur, self.bg, self.ba,
             jnp.asarray(timestamp, jnp.float32), jnp.asarray(self.frame_id),
             self.track.uv, ids,
         )
+        if self.imu_initialized:
+            # KF-to-KF preintegration from the accumulated samples
+            # (Estimator.cpp:645-669)
+            rows = (
+                np.concatenate(self.imu_since_last_kf)
+                if self.imu_since_last_kf
+                else np.zeros((0, 7))
+            )
+            self.kf_preints.append(
+                self._preintegrate(rows, self.bg, self.ba, cfg.imu.max_samples_per_keyframe)
+            )
+            if was_full and self.kf_preints:
+                self.kf_preints.pop(0)
+        self.imu_since_last_kf = []
+
         # BA first, then triangulate new landmarks from the REFINED poses
         # (deviation from the reference's triangulate->BA order,
         # Estimator.cpp:756-789: measured to cut trajectory error ~2.5x in
         # high-keyframe-rate regimes because fresh landmarks no longer
         # inherit the pre-BA drifted pose).
-        self.win, ba_res = window.window_ba(
-            self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
-            cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
-        )
+        if self.imu_initialized:
+            stacked, pair_valid = self._stacked_preints()
+            self.win, vres = window.window_viba(
+                self.win, self.t_bc, stacked, pair_valid, self.gravity_w,
+                self.bg, self.ba, cfg.camera.width, cfg.camera.height,
+                cfg.camera.boundary_margin, max_iterations=20,
+            )
+            new_bg, new_ba = vres.bg, vres.ba
+            self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
+            self.bg, self.ba = new_bg, new_ba
+            ba_cost, ba_inl = float(vres.final_cost), int(0)
+            self._refine_scale_gravity(diag)
+            i_last = int(self.win.n_kf) - 1
+            self.vel_cur = self.win.kf_vel[i_last]
+        else:
+            self.win, ba_res = window.window_ba(
+                self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
+                cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+            )
+            ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
         self.win, n_new = window.triangulate_new_landmarks(
             self.win, self.t_bc, cfg.camera.width, cfg.camera.height
         )
@@ -311,9 +559,50 @@ class Estimator:
         self.t_cur = self.win.kf_t[i_last]
         diag.update(
             n_new_landmarks=int(n_new),
-            ba_cost=float(ba_res.final_cost),
-            ba_inliers=int(ba_res.num_inliers),
+            ba_cost=ba_cost,
+            ba_inliers=ba_inl,
         )
+
+    def _refine_scale_gravity(self, diag, max_refines: int = 12):
+        """Periodic inertial-only re-estimation of scale + gravity on the
+        (already metric) window — each pass should return s ~ 1; residual
+        corrections are applied while the map matures. New capability vs
+        the reference (which runs IMU init exactly once,
+        Estimator.cpp:800-803); standard practice since ORB-SLAM3's
+        staged inertial optimizations."""
+        cfg = self.cfg
+        if self.scale_refine_count >= max_refines:
+            return
+        k = int(self.win.n_kf)
+        if k < 3 or len(self.kf_preints) != k - 1:
+            return
+        stacked, pair_valid = self._stacked_preints()
+        res = imu_init_mod.solve_imu_init(
+            self.win.kf_r, self.win.kf_t, stacked, pair_valid,
+            gravity_magnitude=cfg.imu.gravity_magnitude,
+        )
+        s = float(res.scale)
+        if not bool(res.success) or not (0.5 < s < 2.0):
+            return
+        # Apply ONLY the gravity/scale correction; biases stay owned by
+        # VIBA (feeding stage-2 biases back into the preints here lets a
+        # bias/scale degeneracy bake itself into the map — observed).
+        r_wg = imu_init_mod.gravity_dir_to_rotation(res.gravity_dir)
+        self._transform_history(r_wg, res.scale)
+        kf_r2, kf_t2, vel2, pts2 = imu_init_mod.align_gravity_and_scale(
+            self.win.kf_r, self.win.kf_t, self.win.kf_vel, self.win.lm_pos,
+            r_wg, res.scale,
+        )
+        kf_ok = self.win.kf_id >= 0
+        self.win = dataclasses.replace(
+            self.win,
+            kf_r=jnp.where(kf_ok[:, None, None], kf_r2, self.win.kf_r),
+            kf_t=jnp.where(kf_ok[:, None], kf_t2, self.win.kf_t),
+            kf_vel=jnp.where(kf_ok[:, None], vel2, self.win.kf_vel),
+            lm_pos=jnp.where(self.win.lm_alive[:, None], pts2, self.win.lm_pos),
+        )
+        self.scale_refine_count += 1
+        diag["scale_refine"] = s
 
     # ------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ from ..config import VioConfig
 from ..geometry import camera as cam
 from ..geometry import triangulation
 from ..solver import ba as ba_mod
+from ..solver import viba as viba_mod
 
 
 @jax.tree_util.register_dataclass
@@ -306,6 +307,50 @@ def window_ba(
         win,
         kf_r=jnp.where(kf_ok[:, None, None], res.r_wb, win.kf_r),
         kf_t=jnp.where(kf_ok[:, None], res.t_wb, win.kf_t),
+        lm_pos=jnp.where((win.lm_alive & ~win.lm_marg)[:, None], res.points, win.lm_pos),
+        lm_alive=win.lm_alive & ~res.new_bad,
+    )
+    return win, res
+
+
+def window_viba(
+    win: WindowState,
+    t_bc: jax.Array,
+    preints,  # stacked Preintegration, leading axis max_kf-1
+    pair_valid: jax.Array,  # [max_kf-1]
+    gravity_w: jax.Array,
+    bg: jax.Array,
+    ba_bias: jax.Array,
+    width: int,
+    height: int,
+    boundary_margin: float,
+    max_iterations: int = 20,
+) -> tuple[WindowState, viba_mod.VibaResult]:
+    """Visual-inertial local BA over the window (the completed
+    RunVIBA, Optimizer.cpp:493-724): same gauge/outlier rules as
+    window_ba plus inertial factors between consecutive keyframes."""
+    obs_uv, obs_mask = observations(win)
+    obs_mask &= ~cam.is_near_boundary(obs_uv, width, height, boundary_margin)
+
+    kf_ok = win.kf_id >= 0
+    fixed_pose = ~kf_ok | (jnp.arange(win.max_kf) == 0)
+    fixed_point = ~win.lm_alive | win.lm_marg
+
+    r_bc, p_bc = t_bc[:3, :3], t_bc[:3, 3]
+    r_cb = r_bc.T
+    t_cb = -(r_bc.T @ p_bc)
+
+    res = viba_mod.run_viba(
+        win.kf_r, win.kf_t, win.kf_vel, bg, ba_bias,
+        win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point, win.lm_marg,
+        preints, pair_valid, gravity_w, r_cb, t_cb, width, height,
+        max_iterations=max_iterations,
+    )
+    win = dataclasses.replace(
+        win,
+        kf_r=jnp.where(kf_ok[:, None, None], res.r_wb, win.kf_r),
+        kf_t=jnp.where(kf_ok[:, None], res.t_wb, win.kf_t),
+        kf_vel=jnp.where(kf_ok[:, None], res.vel, win.kf_vel),
         lm_pos=jnp.where((win.lm_alive & ~win.lm_marg)[:, None], res.points, win.lm_pos),
         lm_alive=win.lm_alive & ~res.new_bad,
     )

@@ -128,10 +128,15 @@ def _lk_level_kernel(
         ok_out = ok_in & ok_g & (v_f >= 0.0) & (v_f <= height - 1.0)
         u_out = jnp.where(ok_out, u_f, u_t)
         v_out = jnp.where(ok_out, v_f, v_t)
-        acc = acc.at[0, j].set(u_out)
-        acc = acc.at[1, j].set(v_out)
-        acc = acc.at[2, j].set(ok_out.astype(jnp.float32))
-        return acc
+        # One-hot column write (Mosaic has no scatter primitive).
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, FPB), 1)
+        vals = jnp.concatenate(
+            [
+                jnp.stack([u_out, v_out, ok_out.astype(jnp.float32)]),
+                jnp.zeros((5,), jnp.float32),
+            ]
+        )[:, None]
+        return jnp.where(col == j, vals, acc)
 
     acc = jax.lax.fori_loop(0, FPB, one_feature, jnp.zeros((8, FPB), jnp.float32))
     out_ref[:, :] = acc

@@ -114,7 +114,11 @@ def run_viba(
     max_iterations: int = 20,
     inertial_weight: float = 1.0,
     bg_prior_weight: float = 50.0,  # sigma ~ 0.02 rad/s
-    ba_prior_weight: float = 10.0,  # sigma ~ 0.1 m/s^2
+    # Tight accel-bias prior: at low excitation (|a| ~ 0.1 g) a ~0.04
+    # m/s^2 bias is degenerate with a ~20% map-scale error; a loose
+    # prior lets VIBA absorb scale errors into ba (observed on the
+    # synthetic e2e VIO run). sigma ~ 0.02 m/s^2 keeps scale observable.
+    ba_prior_weight: float = 50.0,
 ) -> VibaResult:
     inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
     k, m = obs_mask.shape
