@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--metrics", default=None, help="JSONL per-frame metrics path")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--viz-dir",
+        default=None,
+        help="write tracking video + map.ply + viewer.html + trajectory.png here",
+    )
+    p.add_argument("--viz-fps", type=float, default=20.0)
     args = p.parse_args(argv)
 
     if not os.path.isdir(args.dataset_dir):
@@ -77,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
 
     est = Estimator(cfg)
     metrics = MetricsWriter(args.metrics)
+    video = None
+    if args.viz_dir:
+        from . import viz
+
+        os.makedirs(args.viz_dir, exist_ok=True)
+        video = viz.VideoWriter(os.path.join(args.viz_dir, "tracking.mp4"), fps=args.viz_fps)
     t0 = time.time()
     n_kf = 0
     for frame in data:
@@ -84,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
             break
         res = est.process_frame(frame.image, frame.timestamp, frame.imu)
         n_kf += int(res.is_keyframe)
+        if video is not None:
+            tr = est.track
+            video.write(
+                viz.draw_tracking(
+                    frame.image,
+                    np.asarray(tr.uv), np.asarray(tr.prev_uv),
+                    np.asarray(tr.valid), np.asarray(tr.age),
+                    viz=cfg.viz,
+                    grid_cols=cfg.features.grid_cols, grid_rows=cfg.features.grid_rows,
+                )
+            )
         metrics.write(
             frame=res.frame_id,
             t=res.timestamp,
@@ -104,6 +127,18 @@ def main(argv: list[str] | None = None) -> int:
 
     ts, rs, ps = est.export_trajectory()
     tio.write_tum(args.output, ts, rs, ps)
+    if args.viz_dir:
+        video.close()
+        kf_mask = np.asarray(est.win.kf_id) >= 0
+        kf_pos = np.asarray(est.win.kf_t)[kf_mask]
+        lm_pos = np.asarray(est.win.lm_pos)
+        lm_alive = np.asarray(est.win.lm_alive)
+        viz.write_ply(os.path.join(args.viz_dir, "map.ply"), lm_pos, lm_alive, ps)
+        viz.write_html_viewer(
+            os.path.join(args.viz_dir, "viewer.html"), ps, lm_pos, lm_alive, kf_pos
+        )
+        viz.plot_trajectory(os.path.join(args.viz_dir, "trajectory.png"), ps, keyframes=kf_pos)
+        log.info("viz written to %s", args.viz_dir)
     log.info(
         "done: %d frames in %.1fs (%.2f fps), %d keyframes, %d landmarks -> %s",
         len(ts), wall, len(ts) / max(wall, 1e-9), n_kf,

@@ -51,6 +51,9 @@ class OpticalFlowConfig:
     max_level: int = 3
     max_iterations: int = 30
     epsilon: float = 0.01
+    # LK kernel backend: "auto" picks the Pallas VMEM-resident kernel on
+    # TPU and the pure-XLA gather path elsewhere; "pallas"/"xla" force.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +119,25 @@ class ImuConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VisualizationConfig:
+    """Mirrors the reference YAML ``visualization`` section
+    (config/default_config.yaml:45-54). ``clustered_std_ratio`` is ALSO a
+    tracking behavior in the reference — the tracker reads visualization
+    config to decide clustered-cell removal (FeatureTracker.cpp:405-408);
+    we keep that single source of truth here."""
+
+    scale: float = 1.0
+    show_grid: bool = True
+    grid_color: tuple = (100, 255, 100)
+    grid_thickness: int = 1
+    max_age_for_color: int = 30
+    stable_age_threshold: int = 5
+    highlight_clustered_grid: bool = True
+    clustered_grid_color: tuple = (255, 100, 100)
+    clustered_std_ratio: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
 class VioConfig:
     camera: CameraConfig = CameraConfig()
     features: FeatureConfig = FeatureConfig()
@@ -125,6 +147,7 @@ class VioConfig:
     init: InitializationConfig = InitializationConfig()
     window: WindowConfig = WindowConfig()
     imu: ImuConfig = ImuConfig()
+    viz: VisualizationConfig = VisualizationConfig()
     # T_BC: camera-to-body extrinsics (4x4 row-major tuple-of-tuples so the
     # config stays hashable/static under jit).
     t_bc: tuple = (
@@ -203,6 +226,21 @@ def load_yaml(path: str) -> VioConfig:
         accel_noise=_get(data, "imu", "accel_noise", default=0.01),
         gyro_bias_noise=_get(data, "imu", "gyro_bias_noise", default=0.0001),
         accel_bias_noise=_get(data, "imu", "accel_bias_noise", default=0.001),
+    )
+    viz = VisualizationConfig(
+        scale=_get(data, "visualization", "scale", default=1.0),
+        show_grid=bool(_get(data, "visualization", "show_grid", default=1)),
+        grid_color=tuple(_get(data, "visualization", "grid_color", default=(100, 255, 100))),
+        grid_thickness=_get(data, "visualization", "grid_thickness", default=1),
+        max_age_for_color=_get(data, "visualization", "max_age_for_color", default=30),
+        stable_age_threshold=_get(data, "visualization", "stable_age_threshold", default=5),
+        highlight_clustered_grid=bool(
+            _get(data, "visualization", "highlight_clustered_grid", default=1)
+        ),
+        clustered_grid_color=tuple(
+            _get(data, "visualization", "clustered_grid_color", default=(255, 100, 100))
+        ),
+        clustered_std_ratio=_get(data, "visualization", "clustered_std_ratio", default=0.25),
     )
     t_bc_raw = _get(data, "extrinsics", "T_BC")
     t_bc = (

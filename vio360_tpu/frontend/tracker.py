@@ -138,6 +138,7 @@ def track_frame(
         half_win=cfg.optical_flow.window_size // 2,
         iters=cfg.optical_flow.max_iterations,
         eps=cfg.optical_flow.epsilon,
+        backend=cfg.optical_flow.backend,
     )
     tracked = state.valid & status
     n_tracked = jnp.sum(tracked)
@@ -167,9 +168,11 @@ def track_frame(
     age = jnp.where(survived, state.age + 1, 0)
     track_count = jnp.where(survived, state.track_count + 1, 0)
 
-    # 5. clustered-cell removal
+    # 5. clustered-cell removal (ratio comes from the *visualization*
+    # config — the reference quirk, FeatureTracker.cpp:405-408)
     survived = _remove_clustered(
-        uv_new, survived, w, h, f.grid_cols, f.grid_rows
+        uv_new, survived, w, h, f.grid_cols, f.grid_rows,
+        std_ratio=cfg.viz.clustered_std_ratio,
     )
     # 6. per-cell cap
     survived = _limit_per_cell(

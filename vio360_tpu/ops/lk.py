@@ -93,8 +93,42 @@ def _track_level(
     return uv_j, valid
 
 
-@functools.partial(jax.jit, static_argnames=("num_levels", "half_win", "iters", "eps"))
+def resolve_backend(backend: str = "auto") -> str:
+    """'auto' -> the Pallas VMEM kernel on TPU (XLA gathers are scalar-
+    unit bound there, ~100x slower), pure-XLA everywhere else."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def track(
+    img_prev: jax.Array,
+    img_next: jax.Array,
+    uv_prev: jax.Array,
+    valid_in: jax.Array,
+    uv_guess: jax.Array | None = None,
+    num_levels: int = 3,
+    half_win: int = 10,
+    iters: int = 30,
+    eps: float = 0.01,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pyramidal LK for all features at once (backend dispatcher)."""
+    if resolve_backend(backend) == "pallas":
+        from . import lk_pallas
+
+        return lk_pallas.track(
+            img_prev, img_next, uv_prev, valid_in, uv_guess,
+            num_levels=num_levels, half_win=half_win, iters=iters, eps=eps,
+        )
+    return track_xla(
+        img_prev, img_next, uv_prev, valid_in, uv_guess,
+        num_levels=num_levels, half_win=half_win, iters=iters, eps=eps,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels", "half_win", "iters", "eps"))
+def track_xla(
     img_prev: jax.Array,  # [H, W] float32
     img_next: jax.Array,
     uv_prev: jax.Array,  # [N, 2] level-0 pixel coords

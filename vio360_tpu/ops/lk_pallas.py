@@ -48,34 +48,65 @@ def _interp(patch: jax.Array, au: jax.Array, av: jax.Array, p: int) -> jax.Array
     return top * (1.0 - av) + bot * av
 
 
+def _tile_shape(p: int) -> tuple[int, int]:
+    """Aligned VMEM tile that can hold a (p+1)x(p+1) patch at any
+    sub-tile offset: rows cover the 8 possible sublane remainders,
+    cols the 128 possible lane remainders (Mosaic only allows dynamic
+    slice starts that are provably 8/128-aligned)."""
+    rows = -(-(p + 1 + 7) // 8) * 8
+    cols = -(-(p + 1 + 127) // 128) * 128
+    return rows, cols
+
+
 def _lk_level_kernel(
     uv_i_ref,  # [N,2] template positions (padded coords) — VMEM
     uv_j_ref,  # [N,2] initial guesses (padded coords)
     valid_ref,  # [N,1] int32
-    img_i_ref,  # [H, Wp] template image
-    img_j_ref,  # [H, Wp] moving image
-    gx_ref,  # [H, Wp] template x-gradient
-    gy_ref,  # [H, Wp]
+    img_i_ref,  # [Hp, Wr] template image (aligned-padded)
+    img_j_ref,  # [Hp, Wr] moving image
+    gx_ref,  # [Hp, Wr] template x-gradient
+    gy_ref,  # [Hp, Wr]
     out_ref,  # (8, FPB) block: rows 0=u, 1=v, 2=status
     *,
     half: int,
     iters: int,
     eps: float,
-    height: int,
+    height: int,  # CONTENT height (pre-padding)
     width_pad: int,
+    vpad: int,  # vertical edge-replicate padding rows (top & bottom)
     min_eig_thr: float,
+    use_jnp_roll: bool,
 ):
     blk = pl.program_id(0)
     p = 2 * half + 1
     npix = float(p * p)
     max_u0 = float(width_pad - p - 2)
-    max_v0 = float(height - p - 2)
+    max_v0 = float(height + 2 * vpad - p - 2)
+    v_lo, v_hi = float(vpad), float(vpad + height - 1)
+    t_rows, t_cols = _tile_shape(p)
+
+    def roll(x, shift, axis):
+        if use_jnp_roll:  # interpret mode: tpu.dynamic_rotate unavailable
+            return jnp.roll(x, shift, axis)
+        return pltpu.roll(x, shift=shift, axis=axis)
+
+    def load_patch(ref, v0, u0):
+        """(p+1)x(p+1) patch at dynamic integer (v0, u0): load an
+        aligned tile, rotate the remainder into place in-register."""
+        v0a = pl.multiple_of((v0 // 8) * 8, 8)
+        u0a = pl.multiple_of((u0 // 128) * 128, 128)
+        tile = ref[pl.ds(v0a, t_rows), pl.ds(u0a, t_cols)]
+        tile = roll(tile, -(v0 - v0a), 0)
+        tile = roll(tile, -(u0 - u0a), 1)
+        return tile[: p + 1, : p + 1]
 
     def one_feature(j, acc):
         i = blk * FPB + j
         u_t = uv_i_ref[i, 0]
         v_t = uv_i_ref[i, 1]
-        ok_in = valid_ref[i, 0] > 0
+        # Template center must sit inside the content rows (the window
+        # may overhang into the replicate band) — matches ops/lk.py.
+        ok_in = (valid_ref[i, 0] > 0) & (v_t >= v_lo) & (v_t <= v_hi)
 
         u0f = jnp.clip(jnp.floor(u_t - half), 0.0, max_u0)
         v0f = jnp.clip(jnp.floor(v_t - half), 0.0, max_v0)
@@ -84,12 +115,9 @@ def _lk_level_kernel(
         u0 = u0f.astype(jnp.int32)
         v0 = v0f.astype(jnp.int32)
 
-        t_int = img_i_ref[pl.ds(v0, p + 1), pl.ds(u0, p + 1)]
-        gx_int = gx_ref[pl.ds(v0, p + 1), pl.ds(u0, p + 1)]
-        gy_int = gy_ref[pl.ds(v0, p + 1), pl.ds(u0, p + 1)]
-        t_pat = _interp(t_int, au, av, p)
-        gx_pat = _interp(gx_int, au, av, p)
-        gy_pat = _interp(gy_int, au, av, p)
+        t_pat = _interp(load_patch(img_i_ref, v0, u0), au, av, p)
+        gx_pat = _interp(load_patch(gx_ref, v0, u0), au, av, p)
+        gy_pat = _interp(load_patch(gy_ref, v0, u0), au, av, p)
 
         gxx = jnp.sum(gx_pat * gx_pat)
         gxy = jnp.sum(gx_pat * gy_pat)
@@ -99,33 +127,38 @@ def _lk_level_kernel(
         ok_g = (min_eig > min_eig_thr) & (det > 1e-12)
         inv_det = 1.0 / jnp.where(ok_g, det, 1.0)
 
-        def body(_, carry):
-            u, v, active = carry
+        def cond(carry):
+            it, u, v, active = carry
+            return (it < iters) & active
+
+        def body(carry):
+            it, u, v, active = carry
             cu0f = jnp.clip(jnp.floor(u - half), 0.0, max_u0)
             cv0f = jnp.clip(jnp.floor(v - half), 0.0, max_v0)
             cau = u - half - cu0f
             cav = v - half - cv0f
-            j_int = img_j_ref[
-                pl.ds(cv0f.astype(jnp.int32), p + 1), pl.ds(cu0f.astype(jnp.int32), p + 1)
-            ]
-            j_pat = _interp(j_int, cau, cav, p)
+            j_pat = _interp(
+                load_patch(img_j_ref, cv0f.astype(jnp.int32), cu0f.astype(jnp.int32)),
+                cau, cav, p,
+            )
             diff = j_pat - t_pat
             b0 = jnp.sum(diff * gx_pat)
             b1 = jnp.sum(diff * gy_pat)
             du = -(gyy * b0 - gxy * b1) * inv_det
             dv = -(-gxy * b0 + gxx * b1) * inv_det
-            step = jnp.where(active, 1.0, 0.0)
-            u = u + du * step
-            v = v + dv * step
+            u = u + du
+            v = v + dv
             active = active & (du * du + dv * dv >= eps * eps)
-            return (u, v, active)
+            return (it + 1, u, v, active)
 
         u_j = uv_j_ref[i, 0]
         v_j = uv_j_ref[i, 1]
         active0 = ok_in & ok_g
-        u_f, v_f, _ = jax.lax.fori_loop(0, iters, body, (u_j, v_j, active0))
+        _, u_f, v_f, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), u_j, v_j, active0)
+        )
 
-        ok_out = ok_in & ok_g & (v_f >= 0.0) & (v_f <= height - 1.0)
+        ok_out = ok_in & ok_g & (v_f >= v_lo) & (v_f <= v_hi)
         u_out = jnp.where(ok_out, u_f, u_t)
         v_out = jnp.where(ok_out, v_f, v_t)
         # One-hot column write (Mosaic has no scatter primitive).
@@ -144,6 +177,15 @@ def _lk_level_kernel(
 
 def _pad_wrap(img: jax.Array, pad: int) -> jax.Array:
     return jnp.concatenate([img[:, -pad:], img, img[:, :pad]], axis=1)
+
+
+def _align_pad(img: jax.Array, t_rows: int, t_cols: int) -> jax.Array:
+    """Zero-pad so every aligned tile load stays in bounds: rows to a
+    multiple of 8 plus one tile, cols to a multiple of 128 plus one."""
+    h, wp = img.shape
+    hp = -(-h // 8) * 8 + t_rows
+    wr = -(-wp // 128) * 128 + t_cols
+    return jnp.pad(img, ((0, hp - h), (0, wr - wp)))
 
 
 @functools.partial(
@@ -178,17 +220,35 @@ def track(
     uv = jnp.pad(uv_guess, ((0, pad_feats), (0, 0)))
     status = jnp.pad(valid_in, (0, pad_feats))
 
+    p_full = 2 * half_win + 1
     for lvl in range(num_levels, -1, -1):
+        # Skip degenerate deep levels (OpenCV similarly reduces maxLevel
+        # for small images); the replicate band handles moderate ones.
+        if pyr_i[lvl].shape[0] < half_win:
+            continue
         s = 1.0 / (2.0**lvl)
-        im_i = _pad_wrap(pyr_i[lvl], pad)
-        im_j = _pad_wrap(pyr_j[lvl], pad)
-        gx, gy = scharr_gradients(pyr_i[lvl])
-        gx = _pad_wrap(gx, pad)
-        gy = _pad_wrap(gy, pad)
-        h_l, wp_l = im_i.shape
+        vpad = half_win + 4  # replicate band ≙ bilinear_sample's v-clamp
+        h_l = pyr_i[lvl].shape[0]
 
-        uv_i_l = (uv_prev_p * s).at[:, 0].add(pad)
-        uv_j_l = (uv * s).at[:, 0].add(pad)
+        def prep(img):
+            img = _pad_wrap(img, pad)
+            img = jnp.pad(img, ((vpad, vpad), (0, 0)), mode="edge")
+            return img
+
+        im_i = prep(pyr_i[lvl])
+        im_j = prep(pyr_j[lvl])
+        gx, gy = scharr_gradients(pyr_i[lvl])
+        gx = prep(gx)
+        gy = prep(gy)
+        wp_l = im_i.shape[1]
+        t_rows, t_cols = _tile_shape(p_full)
+        im_i = _align_pad(im_i, t_rows, t_cols)
+        im_j = _align_pad(im_j, t_rows, t_cols)
+        gx = _align_pad(gx, t_rows, t_cols)
+        gy = _align_pad(gy, t_rows, t_cols)
+
+        uv_i_l = (uv_prev_p * s) + jnp.array([pad, vpad], jnp.float32)
+        uv_j_l = (uv * s) + jnp.array([pad, vpad], jnp.float32)
 
         kernel = functools.partial(
             _lk_level_kernel,
@@ -197,7 +257,9 @@ def track(
             eps=eps,
             height=h_l,
             width_pad=wp_l,
+            vpad=vpad,
             min_eig_thr=min_eig_threshold,
+            use_jnp_roll=interpret,
         )
         out = pl.pallas_call(
             kernel,
@@ -223,7 +285,7 @@ def track(
             gx,
             gy,
         )
-        uv = (jnp.stack([out[0] - pad, out[1]], axis=-1)) / s
+        uv = (jnp.stack([out[0] - pad, out[1] - vpad], axis=-1)) / s
         status = out[2] > 0.5
 
     uv = uv[:n]
