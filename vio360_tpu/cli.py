@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write tracking video + map.ply + viewer.html + trajectory.png here",
     )
     p.add_argument("--viz-fps", type=float, default=20.0)
+    p.add_argument("--checkpoint", default=None, help="write a state snapshot here at the end")
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="also snapshot every N frames (requires --checkpoint)",
+    )
+    p.add_argument("--resume", default=None, help="resume from a state snapshot")
     args = p.parse_args(argv)
 
     if not os.path.isdir(args.dataset_dir):
@@ -81,7 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         n = min(n, args.max_frames)
     log.info("dataset: %d frames, %d IMU samples", n, data.imu.shape[0])
 
-    est = Estimator(cfg)
+    if args.resume:
+        if not os.path.isfile(args.resume):
+            print(f"error: checkpoint not found: {args.resume}", file=sys.stderr)
+            return 2
+        est = Estimator.load(args.resume, cfg)
+        log.info("resumed from %s at frame %d", args.resume, est.frame_id)
+    else:
+        est = Estimator(cfg)
     metrics = MetricsWriter(args.metrics)
     video = None
     if args.viz_dir:
@@ -94,8 +107,14 @@ def main(argv: list[str] | None = None) -> int:
     for frame in data:
         if frame.index >= n:
             break
+        if args.resume and frame.index <= est.frame_id:
+            continue  # already processed before the snapshot
         res = est.process_frame(frame.image, frame.timestamp, frame.imu)
         n_kf += int(res.is_keyframe)
+        if args.checkpoint and args.checkpoint_every and (
+            res.frame_id % args.checkpoint_every == 0
+        ):
+            est.save(args.checkpoint)
         if video is not None:
             tr = est.track
             video.write(
@@ -124,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
             )
     wall = time.time() - t0
     metrics.close()
+    if args.checkpoint:
+        est.save(args.checkpoint)
+        log.info("checkpoint written to %s", args.checkpoint)
 
     ts, rs, ps = est.export_trajectory()
     tio.write_tum(args.output, ts, rs, ps)

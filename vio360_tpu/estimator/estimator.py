@@ -620,6 +620,57 @@ class Estimator:
         )
 
     # ------------------------------------------------------------------
+    # Checkpoint / resume (new vs the reference — SURVEY.md §5): capture
+    # the COMPLETE mutable state so a resumed run is bit-identical to an
+    # uninterrupted one.
+    # ------------------------------------------------------------------
+
+    _SCALAR_STATE = (
+        "frame_id", "initialized", "imu_initialized", "scale_refine_count",
+        "last_timestamp",
+    )
+    _ARRAY_STATE = (
+        "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
+        "vel_cur", "bg", "ba", "gravity_w", "snapshots", "kf_preints",
+    )
+
+    def capture_state(self) -> dict:
+        state: dict = {"version": 1, "last_kf_index": getattr(self, "last_kf_index", -1)}
+        for name in self._SCALAR_STATE + self._ARRAY_STATE:
+            state[name] = getattr(self, name)
+        state["trajectory"] = [
+            {"t": float(t), "r": r, "p": p} for (t, r, p) in self.trajectory
+        ]
+        state["imu_since_last_kf"] = [np.asarray(x) for x in self.imu_since_last_kf]
+        return state
+
+    def restore_state(self, state: dict) -> None:
+        from ..io import checkpoint as ckpt
+
+        for name in self._SCALAR_STATE:
+            setattr(self, name, state[name])
+        self.last_kf_index = state["last_kf_index"]
+        for name in self._ARRAY_STATE:
+            setattr(self, name, ckpt.device_put_tree(state[name]))
+        self.trajectory = [
+            (e["t"], np.asarray(e["r"]), np.asarray(e["p"])) for e in state["trajectory"]
+        ]
+        self.imu_since_last_kf = [np.asarray(x) for x in state["imu_since_last_kf"]]
+
+    def save(self, path: str) -> None:
+        from ..io import checkpoint as ckpt
+
+        ckpt.save_state(path, self.capture_state())
+
+    @classmethod
+    def load(cls, path: str, cfg: VioConfig) -> "Estimator":
+        from ..io import checkpoint as ckpt
+
+        est = cls(cfg)
+        est.restore_state(ckpt.load_state(path))
+        return est
+
+    # ------------------------------------------------------------------
 
     def export_trajectory(self):
         ts = np.asarray([t for t, _, _ in self.trajectory])
