@@ -129,7 +129,12 @@ class VioDataset:
           images/*.png
     """
 
-    def __init__(self, dataset_dir: str, image_size: tuple[int, int] | None = None):
+    def __init__(
+        self,
+        dataset_dir: str,
+        image_size: tuple[int, int] | None = None,
+        use_native: bool = True,
+    ):
         self.dir = dataset_dir
         self.timestamps = load_camera_timestamps(
             os.path.join(dataset_dir, "cam_timestamps.txt")
@@ -141,14 +146,37 @@ class VioDataset:
         n = min(len(self.timestamps), len(self.image_files))
         self.timestamps = self.timestamps[:n]
         self.image_files = self.image_files[:n]
+        # Native threaded prefetch decoder when built (make -C native);
+        # VIO360_NO_NATIVE=1 forces the PIL path.
+        self._native = None
+        if (
+            use_native
+            and image_size is not None
+            and not os.environ.get("VIO360_NO_NATIVE")
+        ):
+            from . import native_loader
+
+            if native_loader.available():
+                self._native = native_loader.NativeImageLoader(
+                    self.image_files, image_size
+                )
 
     def __len__(self) -> int:
         return len(self.image_files)
 
+    def load_image(self, i: int) -> np.ndarray:
+        if self._native is not None:
+            try:
+                return self._native.get(i)
+            except RuntimeError:
+                # per-frame fallback: formats the native decoder rejects
+                return load_image_gray(self.image_files[i], self.image_size)
+        return load_image_gray(self.image_files[i], self.image_size)
+
     def __iter__(self) -> Iterator[DatasetFrame]:
         prev_t = -np.inf
-        for i, (t, path) in enumerate(zip(self.timestamps, self.image_files)):
-            img = load_image_gray(path, self.image_size)
+        for i, t in enumerate(self.timestamps):
+            img = self.load_image(i)
             imu = slice_imu(self.imu, prev_t, t)
             yield DatasetFrame(index=i, timestamp=float(t), image=img, imu=imu)
             prev_t = t
