@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
         help="also snapshot every N frames (requires --checkpoint)",
     )
     p.add_argument("--resume", default=None, help="resume from a state snapshot")
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR",
+    )
     args = p.parse_args(argv)
 
     if not os.path.isdir(args.dataset_dir):
@@ -102,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
 
         os.makedirs(args.viz_dir, exist_ok=True)
         video = viz.VideoWriter(os.path.join(args.viz_dir, "tracking.mp4"), fps=args.viz_fps)
+    profiler_ctx = None
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profiler_ctx = contextlib.ExitStack()
+        profiler_ctx.enter_context(jax.profiler.trace(args.profile))
     t0 = time.time()
     n_kf = 0
     for frame in data:
@@ -142,6 +155,16 @@ def main(argv: list[str] | None = None) -> int:
                 "  [KF]" if res.is_keyframe else "",
             )
     wall = time.time() - t0
+    if profiler_ctx is not None:
+        profiler_ctx.close()
+        log.info("profiler trace written to %s", args.profile)
+    stage_summary = est.timers.summary()
+    for stage, s in sorted(stage_summary.items(), key=lambda kv: -kv[1]["total_s"]):
+        log.info(
+            "stage %-14s %6.1f ms/call x%-4d (%.2fs total)",
+            stage, s["mean_ms"], s["count"], s["total_s"],
+        )
+    metrics.write(event="stage_summary", **{k: v["mean_ms"] for k, v in stage_summary.items()})
     metrics.close()
     if args.checkpoint:
         est.save(args.checkpoint)

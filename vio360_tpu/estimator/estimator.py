@@ -24,8 +24,10 @@ window and retries.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
+import time
 from typing import Any
 
 import jax
@@ -40,7 +42,7 @@ from ..imu import preintegration as pre
 from ..solver import imu_init as imu_init_mod
 from ..solver import pnp as pnp_mod
 from ..solver import viba as viba_mod
-from ..utils.logging import get_logger
+from ..utils.logging import StageTimer, get_logger
 from . import initializer, window
 
 log = get_logger("vio360.estimator")
@@ -122,6 +124,18 @@ class Estimator:
         # to the window's keyframe pairs
         self.kf_preints: list[pre.Preintegration] = []
         self.last_timestamp: float | None = None
+        # Per-stage wall-clock accumulation (SURVEY.md §5 tracing — the
+        # reference has no timers at all). Most stages synchronize on
+        # their results for host control flow, so wall time ≈ stage time.
+        self.timers = StageTimer()
+
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.timers.add(name, time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
 
@@ -153,13 +167,14 @@ class Estimator:
         if n:
             s[:n] = rows[-n:]
             m[:n] = True
-        return pre.preintegrate(
-            jnp.asarray(s), jnp.asarray(m), bg, ba,
-            gyro_noise=icfg.gyro_noise, accel_noise=icfg.accel_noise,
-            gyro_bias_noise=icfg.gyro_bias_noise,
-            accel_bias_noise=icfg.accel_bias_noise,
-            min_dt=icfg.min_dt, max_dt=icfg.max_dt,
-        )
+        with self._stage("preintegration"):
+            return pre.preintegrate(
+                jnp.asarray(s), jnp.asarray(m), bg, ba,
+                gyro_noise=icfg.gyro_noise, accel_noise=icfg.accel_noise,
+                gyro_bias_noise=icfg.gyro_bias_noise,
+                accel_bias_noise=icfg.accel_bias_noise,
+                min_dt=icfg.min_dt, max_dt=icfg.max_dt,
+            )
 
     def _record(self, timestamp: float):
         self.trajectory.append(
@@ -211,9 +226,10 @@ class Estimator:
             self._record(timestamp)
             return self._result(timestamp, "bootstrapping", False, 0, 0, {})
 
-        self.track, r_rel, tdiag = tracker.track_frame(
-            self.track, self.img_prev, img, jnp.asarray(timestamp), self._next_key(), cfg
-        )
+        with self._stage("frontend"):
+            self.track, r_rel, tdiag = tracker.track_frame(
+                self.track, self.img_prev, img, jnp.asarray(timestamp), self._next_key(), cfg
+            )
         self.img_prev = img
         n_tracked = int(tdiag["n_tracked"])
 
@@ -234,15 +250,16 @@ class Estimator:
             tracked_full = (
                 last["valid"] & (last["ids"] >= 0) & (last["ids"] == first["ids"])
             )
-            res = initializer.try_initialize(
-                self._next_key(),
-                first["uv"],
-                last["uv"],
-                tracked_full,
-                last["track_count"] + 1,  # observations = tracks + birth frame
-                self.t_bc,
-                cfg,
-            )
+            with self._stage("init"):
+                res = initializer.try_initialize(
+                    self._next_key(),
+                    first["uv"],
+                    last["uv"],
+                    tracked_full,
+                    last["track_count"] + 1,  # observations = tracks + birth frame
+                    self.t_bc,
+                    cfg,
+                )
             if bool(res.success):
                 self._seed_from_init(first, last, res, timestamp)
                 diag = {
@@ -453,19 +470,20 @@ class Estimator:
         points, active, marg = _pnp_inputs(self.win, ids, self.track.valid, self.track.uv)
         active &= ~cam_g.is_near_boundary(self.track.uv, w, h, cfg.camera.boundary_margin)
 
-        res = pnp_mod.solve_pnp(
-            r_pred, t_pred, points, self.track.uv, active, marg,
-            self.r_cb, self.t_cb, w, h,
-            huber_delta=cfg.window.huber_delta,
-            chi2_threshold=cfg.window.chi2_threshold,
-            rounds=cfg.window.pnp_rounds,
-            max_iterations=cfg.window.max_lm_iterations,
-            min_inliers=cfg.window.pnp_min_inliers,
-        )
+        with self._stage("pnp"):
+            res = pnp_mod.solve_pnp(
+                r_pred, t_pred, points, self.track.uv, active, marg,
+                self.r_cb, self.t_cb, w, h,
+                huber_delta=cfg.window.huber_delta,
+                chi2_threshold=cfg.window.chi2_threshold,
+                rounds=cfg.window.pnp_rounds,
+                max_iterations=cfg.window.max_lm_iterations,
+                min_inliers=cfg.window.pnp_min_inliers,
+            )
+            pnp_ok = bool(res.success)
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = res.r_wb, res.t_wb
         self.vel_cur = v_pred
-        pnp_ok = bool(res.success)
         n_inl = int(res.num_inliers)
 
         # Keyframe decision: median parallax vs last keyframe
@@ -532,12 +550,13 @@ class Estimator:
         # high-keyframe-rate regimes because fresh landmarks no longer
         # inherit the pre-BA drifted pose).
         if self.imu_initialized:
-            stacked, pair_valid = self._stacked_preints()
-            self.win, vres = window.window_viba(
-                self.win, self.t_bc, stacked, pair_valid, self.gravity_w,
-                self.bg, self.ba, cfg.camera.width, cfg.camera.height,
-                cfg.camera.boundary_margin, max_iterations=20,
-            )
+            with self._stage("viba"):
+                stacked, pair_valid = self._stacked_preints()
+                self.win, vres = window.window_viba(
+                    self.win, self.t_bc, stacked, pair_valid, self.gravity_w,
+                    self.bg, self.ba, cfg.camera.width, cfg.camera.height,
+                    cfg.camera.boundary_margin, max_iterations=20,
+                )
             new_bg, new_ba = vres.bg, vres.ba
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
             self.bg, self.ba = new_bg, new_ba
@@ -546,14 +565,16 @@ class Estimator:
             i_last = int(self.win.n_kf) - 1
             self.vel_cur = self.win.kf_vel[i_last]
         else:
-            self.win, ba_res = window.window_ba(
-                self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
-                cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
-            )
+            with self._stage("ba"):
+                self.win, ba_res = window.window_ba(
+                    self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
+                    cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+                )
             ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
-        self.win, n_new = window.triangulate_new_landmarks(
-            self.win, self.t_bc, cfg.camera.width, cfg.camera.height
-        )
+        with self._stage("triangulation"):
+            self.win, n_new = window.triangulate_new_landmarks(
+                self.win, self.t_bc, cfg.camera.width, cfg.camera.height
+            )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]

@@ -127,35 +127,48 @@ def _lk_level_kernel(
         ok_g = (min_eig > min_eig_thr) & (det > 1e-12)
         inv_det = 1.0 / jnp.where(ok_g, det, 1.0)
 
-        def cond(carry):
+        # Nested iteration ladder: the EXPENSIVE part of a step is the
+        # aligned tile load + double roll; the patch's integer origin
+        # changes only when the estimate crosses a pixel boundary, so
+        # the outer loop reloads and the inner loop iterates on the
+        # cached integer patch with only fractional re-interpolation.
+        def outer_cond(carry):
             it, u, v, active = carry
             return (it < iters) & active
 
-        def body(carry):
+        def outer_body(carry):
             it, u, v, active = carry
             cu0f = jnp.clip(jnp.floor(u - half), 0.0, max_u0)
             cv0f = jnp.clip(jnp.floor(v - half), 0.0, max_v0)
-            cau = u - half - cu0f
-            cav = v - half - cv0f
-            j_pat = _interp(
-                load_patch(img_j_ref, cv0f.astype(jnp.int32), cu0f.astype(jnp.int32)),
-                cau, cav, p,
+            j_int = load_patch(
+                img_j_ref, cv0f.astype(jnp.int32), cu0f.astype(jnp.int32)
             )
-            diff = j_pat - t_pat
-            b0 = jnp.sum(diff * gx_pat)
-            b1 = jnp.sum(diff * gy_pat)
-            du = -(gyy * b0 - gxy * b1) * inv_det
-            dv = -(-gxy * b0 + gxx * b1) * inv_det
-            u = u + du
-            v = v + dv
-            active = active & (du * du + dv * dv >= eps * eps)
-            return (it + 1, u, v, active)
+
+            def inner_cond(c):
+                it2, u2, v2, act2 = c
+                same = (jnp.clip(jnp.floor(u2 - half), 0.0, max_u0) == cu0f) & (
+                    jnp.clip(jnp.floor(v2 - half), 0.0, max_v0) == cv0f
+                )
+                return (it2 < iters) & act2 & same
+
+            def inner_body(c):
+                it2, u2, v2, act2 = c
+                j_pat = _interp(j_int, u2 - half - cu0f, v2 - half - cv0f, p)
+                diff = j_pat - t_pat
+                b0 = jnp.sum(diff * gx_pat)
+                b1 = jnp.sum(diff * gy_pat)
+                du = -(gyy * b0 - gxy * b1) * inv_det
+                dv = -(-gxy * b0 + gxx * b1) * inv_det
+                act2 = act2 & (du * du + dv * dv >= eps * eps)
+                return (it2 + 1, u2 + du, v2 + dv, act2)
+
+            return jax.lax.while_loop(inner_cond, inner_body, (it, u, v, active))
 
         u_j = uv_j_ref[i, 0]
         v_j = uv_j_ref[i, 1]
         active0 = ok_in & ok_g
         _, u_f, v_f, _ = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), u_j, v_j, active0)
+            outer_cond, outer_body, (jnp.asarray(0, jnp.int32), u_j, v_j, active0)
         )
 
         ok_out = ok_in & ok_g & (v_f >= v_lo) & (v_f <= v_hi)

@@ -31,7 +31,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..geometry import lie
-from ..solver import factors
+from ..solver import factors, linsolve
 
 
 def _evaluate_local(r_wb, t_wb, points, obs, mask, r_cb, t_cb, width, height,
@@ -91,7 +91,7 @@ def _ba_one_window(
         u_d = u_blk + lam * jnp.eye(6) * jnp.einsum("kcc->k", u_blk)[:, None, None] / 6.0
         v_d = v_blk + lam * jnp.eye(3) * jnp.einsum("mcc->m", v_blk)[:, None, None] / 3.0
         v_d = v_d + 1e-8 * jnp.eye(3)
-        v_inv = jnp.linalg.inv(v_d)
+        v_inv = linsolve.inv3x3(v_d)
         v_inv = jnp.where(fixed_point[:, None, None], 0.0, v_inv)
 
         wv = jnp.einsum("kmcd,mde->kmce", w_blk, v_inv)
@@ -113,7 +113,7 @@ def _ba_one_window(
         rhs = rhs * free_p[:, None]
 
         s_mat = s.transpose(0, 2, 1, 3).reshape(k * 6, k * 6)
-        dx = jnp.linalg.solve(s_mat, rhs.reshape(k * 6)).reshape(k, 6)
+        dx = linsolve.solve(s_mat, rhs.reshape(k * 6)).reshape(k, 6)
         dx = jnp.where(fixed_pose[:, None], 0.0, dx)
         dl = jnp.einsum("mde,me->md", v_inv, b_l - jnp.einsum("kmcd,kc->md", w_blk, dx))
         dl = jnp.where(fixed_point[:, None], 0.0, dl)

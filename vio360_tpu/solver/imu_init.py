@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from ..imu.preintegration import Preintegration
+from . import linsolve
 
 
 @jax.tree_util.register_dataclass
@@ -109,7 +110,7 @@ def _lm_minimize(residual_fn, x0: jax.Array, iters: int = 50):
         g = j.T @ r
         n = x.shape[0]
         damped = h + lam * jnp.diag(jnp.diag(h)) + 1e-12 * jnp.eye(n)
-        dx = -jnp.linalg.solve(damped, g)
+        dx = -linsolve.solve(damped, g)
         c_new = cost(x + dx)
         accept = c_new < c
         x = jnp.where(accept, x + dx, x)

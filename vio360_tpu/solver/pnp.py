@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
-from . import factors
+from . import factors, linsolve
 
 
 @jax.tree_util.register_dataclass
@@ -92,10 +92,12 @@ def solve_pnp(
             )
             j_pose, _ = factors.reprojection_jacobians(p_b, p_c, r, r_cb, width, height)
             w = factors.robust_weights(res, use, inv_sigma2, huber_delta)  # [N]
-            h = jnp.einsum("nic,n,nid->cd", j_pose, w, j_pose)  # [6,6]
-            g = jnp.einsum("nic,n,ni->c", j_pose, w, res)  # [6]
+            # N-minor layout (N in the lane dim; see ba.py note)
+            jp = j_pose.transpose(1, 2, 0)  # [2,6,N]
+            h = jnp.einsum("icn,n,idn->cd", jp, w, jp)  # [6,6]
+            g = jnp.einsum("icn,n,in->c", jp, w, res.T)  # [6]
             damped = h + lam * jnp.diag(jnp.diag(h)) + 1e-10 * jnp.eye(6)
-            delta = -jnp.linalg.solve(damped, g)
+            delta = -linsolve.solve(damped, g)
             dr, dt = lie.se3_exp(delta)
             r_new, t_new = lie.se3_compose(r, t, dr, dt)
             _, _, _, _, new_cost = _evaluate(
@@ -108,7 +110,9 @@ def solve_pnp(
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
             step_small = jnp.sum(delta * delta) < 1e-16
             rel_drop = (cost - new_cost) < 1e-6 * cost
-            done = accept & (step_small | rel_drop)
+            # lam > 1e5: trust region collapsed (e.g. already at the
+            # optimum and every step is rejected) — stop early.
+            done = (accept & (step_small | rel_drop)) | (lam > 1e5)
             cost = jnp.where(accept, new_cost, cost)
             return (r, t, lam, cost, it + 1, done)
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from ..imu.preintegration import Preintegration
-from . import factors
+from . import factors, linsolve
 def _sqrt_information_full(cov9: jax.Array) -> jax.Array:
     """True sqrt information of the 9x9 preintegration covariance.
 
@@ -172,7 +172,7 @@ def run_viba(
 
         v_d = v_blk + lam * jnp.eye(3) * jnp.einsum("mcc->m", v_blk)[:, None, None] / 3.0
         v_d = v_d + 1e-8 * jnp.eye(3)
-        v_inv = jnp.linalg.inv(v_d)
+        v_inv = linsolve.inv3x3(v_d)
         v_inv = jnp.where(fixed_point[:, None, None], 0.0, v_inv)
         wv = jnp.einsum("kmcd,mde->kmce", w_blk, v_inv)
         s_off = jnp.einsum("kmce,lmfe->klcf", wv, w_blk)
@@ -215,7 +215,7 @@ def run_viba(
         h = h * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
         g = g * fmask
 
-        delta = -jnp.linalg.solve(h, g)
+        delta = -linsolve.solve(h, g)
         dxi = delta[: 6 * k].reshape(k, 6)
         dv = delta[6 * k : 9 * k].reshape(k, 3)
         dbg_ = delta[9 * k : 9 * k + 3]
