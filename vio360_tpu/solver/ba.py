@@ -61,11 +61,133 @@ def _evaluate(r_wb, t_wb, points, obs, mask, r_cb, t_cb, width, height, inv_sigm
     return p_b, p_c, res, c2, cost
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    """'auto': the Pallas LM-iteration megakernel on TPU (~30x faster
+    per iteration than the XLA formulation — per-fusion fixed costs
+    dominate at this problem size), XLA elsewhere."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def run_ba(
+    r_wb,
+    t_wb,
+    points,
+    obs_uv,
+    obs_mask,
+    fixed_pose,
+    fixed_point,
+    marginalized,
+    r_cb,
+    t_cb,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    max_iterations: int = 50,
+    backend: str = "auto",
+) -> BaResult:
+    """Windowed BA dispatcher — see ``run_ba_xla`` for the contract."""
+    m = obs_mask.shape[1]
+    if resolve_backend(backend) == "pallas" and m % 128 == 0:
+        return run_ba_pallas(
+            r_wb, t_wb, points, obs_uv, obs_mask, fixed_pose, fixed_point,
+            marginalized, r_cb, t_cb, width, height,
+            pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+            chi2_threshold=chi2_threshold, max_iterations=max_iterations,
+        )
+    return run_ba_xla(
+        r_wb, t_wb, points, obs_uv, obs_mask, fixed_pose, fixed_point,
+        marginalized, r_cb, t_cb, width, height,
+        pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+        chi2_threshold=chi2_threshold, max_iterations=max_iterations,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_iterations", "pixel_noise_std", "huber_delta",
+    ),
+)
+def run_ba_pallas(
+    r_wb: jax.Array,
+    t_wb: jax.Array,
+    points: jax.Array,
+    obs_uv: jax.Array,
+    obs_mask: jax.Array,
+    fixed_pose: jax.Array,
+    fixed_point: jax.Array,
+    marginalized: jax.Array,
+    r_cb: jax.Array,
+    t_cb: jax.Array,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    max_iterations: int = 50,
+) -> BaResult:
+    """LM loop driving the Pallas iteration kernel (solver/ba_pallas.py);
+    per-iteration XLA work is only scalar bookkeeping + [K]/[M] selects."""
+    from . import ba_pallas
+
+    inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    obs_w = obs_mask.astype(jnp.float32)
+    _, _, _, _, initial_cost = _evaluate(
+        r_wb, t_wb, points, obs_uv, obs_mask, r_cb, t_cb, width, height,
+        inv_sigma2, huber_delta,
+    )
+
+    def lm_cond(carry):
+        *_, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def lm_body(carry):
+        r, t, pts, lam, cost, it, done = carry
+        r_n, t_n, pts_n, cur_cost, new_cost, step_sq = ba_pallas.ba_iteration(
+            r, t, pts, obs_uv, obs_w, fixed_pose, fixed_point, lam,
+            r_cb, t_cb, width, height,
+            pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+        )
+        accept = new_cost < cur_cost
+        r = jnp.where(accept, r_n, r)
+        t = jnp.where(accept, t_n, t)
+        pts = jnp.where(accept, pts_n, pts)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        step_small = step_sq < 1e-14
+        rel_drop = (cur_cost - new_cost) < 1e-6 * cur_cost
+        done = (accept & (step_small | rel_drop)) | (lam > 1e5)
+        cost = jnp.where(accept, new_cost, cur_cost)
+        return (r, t, pts, lam, cost, it + 1, done)
+
+    r_fin, t_fin, pts_fin, _, final_cost, iters, _ = jax.lax.while_loop(
+        lm_cond,
+        lm_body,
+        (
+            r_wb,
+            t_wb,
+            points,
+            jnp.asarray(1e-4, jnp.float32),
+            initial_cost,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        ),
+    )
+    return _classify(
+        r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
+        r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,
+        initial_cost, final_cost, iters,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_iterations"),
 )
-def run_ba(
+def run_ba_xla(
     r_wb: jax.Array,  # [K,3,3] initial poses
     t_wb: jax.Array,  # [K,3]
     points: jax.Array,  # [M,3] initial landmarks
@@ -189,7 +311,19 @@ def run_ba(
         ),
     )
 
-    # Post-solve chi2 classification (Optimizer.cpp:419-460)
+    return _classify(
+        r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
+        r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,
+        initial_cost, final_cost, iters,
+    )
+
+
+def _classify(
+    r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
+    r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,
+    initial_cost, final_cost, iters,
+) -> BaResult:
+    """Post-solve chi2 classification (Optimizer.cpp:419-460)."""
     _, _, _, c2, _ = _evaluate(
         r_fin, t_fin, pts_fin, obs_uv, obs_mask, r_cb, t_cb, width, height,
         inv_sigma2, huber_delta,
