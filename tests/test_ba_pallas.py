@@ -153,3 +153,38 @@ def test_run_ba_pallas_full_solve_matches_xla():
 
     *_, cost_p = _evaluate(r, t, p, uv, mask, r_cb, t_cb, W, H, 1.0, 1.0)
     assert abs(float(cost_p) - float(res_x.final_cost)) < 0.02 * float(res_x.final_cost)
+
+
+def test_solve_pnp_pallas_matches_xla():
+    from vio360_tpu.solver import pnp
+
+    rng = np.random.default_rng(9)
+    n = 256
+    pts = jnp.asarray(rng.uniform(-5, 5, (n, 3)) + np.array([0, 0, 7.0]), jnp.float32)
+    r_true = lie.so3_exp(jnp.asarray([0.03, -0.02, 0.01]))
+    t_true = jnp.asarray([0.15, -0.1, 0.2])
+    r_cb = lie.so3_exp(jnp.asarray([0.01, 0.02, -0.01]))
+    t_cb = jnp.asarray([0.02, 0.01, 0.0])
+    p_b = (pts - t_true) @ r_true  # R^T (p - t)
+    p_c = p_b @ r_cb.T + t_cb
+    uv = cam.project(p_c, W, H)
+    uv = uv + jnp.asarray(rng.standard_normal(uv.shape) * 0.5, jnp.float32)
+    # a few gross outliers
+    out_idx = rng.choice(n, 20, replace=False)
+    uv = uv.at[out_idx].add(jnp.asarray(rng.uniform(30, 60, (20, 2)), jnp.float32))
+    active = jnp.ones(n, bool)
+    marg = jnp.zeros(n, bool)
+
+    res_x = pnp.solve_pnp_xla(
+        jnp.eye(3), jnp.zeros(3), pts, uv, active, marg, r_cb, t_cb, W, H
+    )
+    res_p = pnp.solve_pnp_pallas(
+        jnp.eye(3), jnp.zeros(3), pts, uv, active, marg, r_cb, t_cb, W, H,
+        interpret=True,
+    )
+    assert bool(res_p.success) and bool(res_x.success)
+    np.testing.assert_allclose(np.asarray(res_p.t_wb), np.asarray(res_x.t_wb), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_p.r_wb), np.asarray(res_x.r_wb), atol=5e-4)
+    # both recover the true pose
+    np.testing.assert_allclose(np.asarray(res_p.t_wb), np.asarray(t_true), atol=2e-2)
+    assert abs(int(res_p.num_inliers) - int(res_x.num_inliers)) <= 3

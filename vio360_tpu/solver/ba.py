@@ -110,6 +110,7 @@ def run_ba(
     jax.jit,
     static_argnames=(
         "width", "height", "max_iterations", "pixel_noise_std", "huber_delta",
+        "interpret",
     ),
 )
 def run_ba_pallas(
@@ -129,6 +130,7 @@ def run_ba_pallas(
     huber_delta: float = 1.0,
     chi2_threshold: float = 5.991,
     max_iterations: int = 50,
+    interpret: bool = False,
 ) -> BaResult:
     """LM loop driving the Pallas iteration kernel (solver/ba_pallas.py);
     per-iteration XLA work is only scalar bookkeeping + [K]/[M] selects."""
@@ -151,6 +153,7 @@ def run_ba_pallas(
             r, t, pts, obs_uv, obs_w, fixed_pose, fixed_point, lam,
             r_cb, t_cb, width, height,
             pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+            interpret=interpret,
         )
         accept = new_cost < cur_cost
         r = jnp.where(accept, r_n, r)

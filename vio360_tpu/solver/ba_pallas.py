@@ -94,6 +94,7 @@ def _ba_iter_kernel(
     width: float,
     height: float,
     huber_delta: float,
+    diag_damping: bool,
 ):
     f32 = jnp.float32
     lam = scal_ref[0, 0]
@@ -241,14 +242,28 @@ def _ba_iter_kernel(
     ]
 
     # ---- damping ----
-    u_tr = u_blk[0][0] + u_blk[1][1] + u_blk[2][2] + u_blk[3][3] + u_blk[4][4] + u_blk[5][5]
-    u_d = [
-        [
-            u_blk[c][f] + (lam / 6.0) * u_tr * (1.0 if c == f else 0.0)
-            for f in range(6)
+    if diag_damping:
+        # PnP flavor: elementwise H + lam*diag(H) (Optimizer.cpp PnP path)
+        u_d = [
+            [
+                u_blk[c][f] * (1.0 + lam if c == f else 1.0)
+                + (1e-10 if c == f else 0.0)
+                for f in range(6)
+            ]
+            for c in range(6)
         ]
-        for c in range(6)
-    ]
+    else:
+        u_tr = (
+            u_blk[0][0] + u_blk[1][1] + u_blk[2][2]
+            + u_blk[3][3] + u_blk[4][4] + u_blk[5][5]
+        )
+        u_d = [
+            [
+                u_blk[c][f] + (lam / 6.0) * u_tr * (1.0 if c == f else 0.0)
+                for f in range(6)
+            ]
+            for c in range(6)
+        ]
     v_tr = v_blk[0][0] + v_blk[1][1] + v_blk[2][2]
     v_d = [
         [
@@ -436,7 +451,7 @@ def _ba_iter_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "huber_delta", "interpret"),
+    static_argnames=("width", "height", "huber_delta", "diag_damping", "interpret"),
 )
 def ba_iteration(
     r_wb: jax.Array,  # [K,3,3]
@@ -453,10 +468,12 @@ def ba_iteration(
     height: int,
     pixel_noise_std: float = 1.0,
     huber_delta: float = 1.0,
+    diag_damping: bool = False,
     interpret: bool = False,
 ):
     """One LM iteration; returns (r_new, t_new, pts_new, cur_cost,
-    new_cost, step_sq)."""
+    new_cost, step_sq). ``diag_damping`` selects the PnP-flavor
+    elementwise H + lam*diag(H) damping (vs trace-scaled for BA)."""
     k, m = obs_w.shape
     assert m % 128 == 0, "landmark capacity must be lane-aligned"
     f32 = jnp.float32
@@ -484,6 +501,7 @@ def ba_iteration(
         width=float(width),
         height=float(height),
         huber_delta=float(huber_delta),
+        diag_damping=diag_damping,
     )
     pose_out, pts_out, scal_out = pl.pallas_call(
         kernel,

@@ -48,11 +48,155 @@ def _evaluate(r_wb, t_wb, points, obs, active, r_cb, t_cb, width, height, inv_si
     return p_b[0], p_c[0], res, c2, cost
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def solve_pnp(
+    r_wb_init,
+    t_wb_init,
+    points_w,
+    obs_uv,
+    active,
+    marginalized,
+    r_cb,
+    t_cb,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    rounds: int = 4,
+    max_iterations: int = 50,
+    min_inliers: int = 10,
+    backend: str = "auto",
+) -> PnpResult:
+    """PnP dispatcher — see ``solve_pnp_xla`` for the contract."""
+    n = points_w.shape[0]
+    if resolve_backend(backend) == "pallas" and n % 128 == 0:
+        fn = solve_pnp_pallas
+    else:
+        fn = solve_pnp_xla
+    return fn(
+        r_wb_init, t_wb_init, points_w, obs_uv, active, marginalized,
+        r_cb, t_cb, width, height,
+        pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+        chi2_threshold=chi2_threshold, rounds=rounds,
+        max_iterations=max_iterations, min_inliers=min_inliers,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "max_iterations", "min_inliers",
+        "pixel_noise_std", "huber_delta", "interpret",
+    ),
+)
+def solve_pnp_pallas(
+    r_wb_init: jax.Array,
+    t_wb_init: jax.Array,
+    points_w: jax.Array,
+    obs_uv: jax.Array,
+    active: jax.Array,
+    marginalized: jax.Array,
+    r_cb: jax.Array,
+    t_cb: jax.Array,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    rounds: int = 4,
+    max_iterations: int = 50,
+    min_inliers: int = 10,
+    interpret: bool = False,
+) -> PnpResult:
+    """PnP via the BA megakernel with K=1 and every landmark frozen
+    (solver/ba_pallas.py, diag_damping matches the PnP LM flavor)."""
+    from . import ba_pallas
+
+    inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    n = points_w.shape[0]
+    enough = jnp.sum(active) >= 6  # Optimizer.cpp:127
+    fixed_pose = jnp.zeros((1,), bool)
+    fixed_point = jnp.ones((n,), bool)
+    obs1 = obs_uv[None]
+
+    outlier = jnp.zeros((n,), bool)
+    r_fin, t_fin = r_wb_init, t_wb_init
+    final_cost = jnp.asarray(0.0, jnp.float32)
+
+    for _ in range(rounds):
+        use = active & ~outlier
+        obs_w = use.astype(jnp.float32)[None]
+
+        def lm_cond(carry):
+            *_, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def lm_body(carry, obs_w=obs_w):
+            r, t, lam, it, done = carry
+            r_n, t_n, _, cur_cost, new_cost, step_sq = ba_pallas.ba_iteration(
+                r, t, points_w, obs1, obs_w, fixed_pose, fixed_point, lam,
+                r_cb, t_cb, width, height,
+                pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+                diag_damping=True, interpret=interpret,
+            )
+            accept = new_cost < cur_cost
+            r = jnp.where(accept, r_n, r)
+            t = jnp.where(accept, t_n, t)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6)
+            )
+            done = (accept & ((step_sq < 1e-16) | ((cur_cost - new_cost) < 1e-6 * cur_cost))) | (
+                lam > 1e5
+            )
+            return (r, t, lam, it + 1, done)
+
+        r_sol1, t_sol1, _, _, _ = jax.lax.while_loop(
+            lm_cond,
+            lm_body,
+            (r_wb_init[None], t_wb_init[None], jnp.asarray(1e-4, jnp.float32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        )
+        r_sol, t_sol = r_sol1[0], t_sol1[0]
+
+        # chi2 classification at the solution (raw wrapped residuals)
+        _, _, _, c2, _ = _evaluate(
+            r_sol, t_sol, points_w, obs_uv, active, r_cb, t_cb, width, height,
+            inv_sigma2, huber_delta,
+        )
+        outlier = active & ~marginalized & (c2 > chi2_threshold)
+        r_fin, t_fin = r_sol, t_sol
+        inlier_mask = active & ~outlier
+        n_inl = jnp.sum(inlier_mask)
+        final_cost = jnp.sum(jnp.where(inlier_mask, c2, 0.0)) / jnp.maximum(n_inl, 1)
+
+    inlier_mask = active & ~outlier
+    num_inliers = jnp.sum(inlier_mask).astype(jnp.int32)
+    num_outliers = jnp.sum(outlier).astype(jnp.int32)
+    success = enough & (num_inliers >= min_inliers)
+    r_out = jnp.where(success, r_fin, r_wb_init)
+    t_out = jnp.where(success, t_fin, t_wb_init)
+    return PnpResult(
+        r_wb=r_out,
+        t_wb=t_out,
+        success=success,
+        num_inliers=num_inliers,
+        num_outliers=num_outliers,
+        outlier=outlier,
+        final_cost=final_cost,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "rounds", "max_iterations", "min_inliers"),
 )
-def solve_pnp(
+def solve_pnp_xla(
     r_wb_init: jax.Array,  # [3,3]
     t_wb_init: jax.Array,  # [3]
     points_w: jax.Array,  # [N,3] landmark positions
