@@ -87,3 +87,18 @@ class TestEndToEndVO:
         tio.write_tum(path, ts_, rs_, ps_)
         t2, r2, p2 = tio.read_tum(path)
         assert len(t2) == len(ts_)
+
+
+def test_reset_returns_to_bootstrap(vo_run):
+    # fresh estimator (the module fixture is shared; build our own)
+    est = Estimator(make_cfg())
+    pts = synthetic.make_point_world(21, 300, radius=(3.0, 9.0))
+    rs, ts = synthetic.make_trajectory(6, step=0.12, rot_step=0.004)
+    for i in range(6):
+        est.process_frame(synthetic.render_point_image(pts, rs[i], ts[i], W, H), i * 0.1)
+    assert est.frame_id == 5
+    est.reset()
+    assert est.frame_id == -1 and not est.initialized
+    assert len(est.trajectory) == 0 and int(est.win.n_kf) == 0
+    res = est.process_frame(synthetic.render_point_image(pts, rs[0], ts[0], W, H), 0.0)
+    assert res.frame_id == 0 and res.state == "bootstrapping"

@@ -640,6 +640,13 @@ class Estimator:
             diag=diag,
         )
 
+    def reset(self) -> None:
+        """Return to the pre-bootstrap state (Estimator::Reset,
+        Estimator.cpp:545-556 — present in the reference API though its
+        app never calls it). Configuration is kept; all tracking, map,
+        inertial and trajectory state is discarded."""
+        self.__init__(self.cfg)
+
     # ------------------------------------------------------------------
     # Checkpoint / resume (new vs the reference — SURVEY.md §5): capture
     # the COMPLETE mutable state so a resumed run is bit-identical to an
