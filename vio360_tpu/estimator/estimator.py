@@ -72,16 +72,24 @@ def _median_parallax(uv_now, ids_now, valid_now, kf_uv, kf_ids, width):
     return initializer.masked_median(par, shared), jnp.sum(shared)
 
 
-@jax.jit
-def _pnp_inputs(win: window.WindowState, ids, valid, uv):
+@functools.partial(jax.jit, static_argnames=("width", "height", "margin"))
+def _pnp_inputs(win: window.WindowState, ids, valid, uv, width, height, margin):
     """Slot-aligned PnP arrays: landmark positions + masks per feature slot."""
     lm_idx = window.slot_to_landmark(win, ids)
     has = lm_idx >= 0
     safe = jnp.clip(lm_idx, 0, win.max_lm - 1)
     points = win.lm_pos[safe]
-    active = valid & has
+    active = valid & has & ~cam_g.is_near_boundary(uv, width, height, margin)
     marg = win.lm_marg[safe] & has
     return points, active, marg
+
+
+@jax.jit
+def _stack_preints(pres: list):
+    """One jitted dispatch for the [n_pairs]-stacking (a Python-level
+    tree_map of jnp.stack issues ~117 eager ops — each a host->device
+    round trip, seconds through the axon relay)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
 
 
 class Estimator:
@@ -353,8 +361,10 @@ class Estimator:
             else:
                 alpha = (s["time"] - t_first) / max(t_last - t_first, 1e-9)
                 r_i, t_i = lie.interpolate_pose(r0, t0v, r_n, t_n, alpha)
-                points, active, marg = _pnp_inputs(self.win, s["ids"], s["valid"], s["uv"])
-                active &= ~cam_g.is_near_boundary(s["uv"], w, h, cfg.camera.boundary_margin)
+                points, active, marg = _pnp_inputs(
+                    self.win, s["ids"], s["valid"], s["uv"],
+                    w, h, cfg.camera.boundary_margin,
+                )
                 pr = pnp_mod.solve_pnp(
                     r_i, t_i, points, s["uv"], active, marg, self.r_cb, self.t_cb, w, h,
                     rounds=cfg.window.pnp_rounds,
@@ -390,7 +400,7 @@ class Estimator:
         n_real = len(pres)
         while len(pres) < n_pairs:
             pres.append(pre.identity_preintegration())
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        stacked = _stack_preints(pres)
         valid = (
             (jnp.arange(n_pairs) < n_real)
             & (stacked.dt_total > 0.001)
@@ -467,8 +477,10 @@ class Estimator:
             r_pred, t_pred = lie.se3_compose(self.r_cur, self.t_cur, dr, dt)
 
         ids = jnp.where(self.track.valid, self.track.ids, -1)
-        points, active, marg = _pnp_inputs(self.win, ids, self.track.valid, self.track.uv)
-        active &= ~cam_g.is_near_boundary(self.track.uv, w, h, cfg.camera.boundary_margin)
+        points, active, marg = _pnp_inputs(
+            self.win, ids, self.track.valid, self.track.uv,
+            w, h, cfg.camera.boundary_margin,
+        )
 
         with self._stage("pnp"):
             res = pnp_mod.solve_pnp(
