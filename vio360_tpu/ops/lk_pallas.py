@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pyramid import build_pyramid, scharr_gradients
+import numpy as np
+
+from . import pyramid as pyr
 
 FPB = 128  # features per grid program
 
@@ -64,8 +66,6 @@ def _lk_level_kernel(
     valid_ref,  # [N,1] int32
     img_i_ref,  # [Hp, Wr] template image (aligned-padded)
     img_j_ref,  # [Hp, Wr] moving image
-    gx_ref,  # [Hp, Wr] template x-gradient
-    gy_ref,  # [Hp, Wr]
     out_ref,  # (8, FPB) block: rows 0=u, 1=v, 2=status
     *,
     half: int,
@@ -90,15 +90,19 @@ def _lk_level_kernel(
             return jnp.roll(x, shift, axis)
         return pltpu.roll(x, shift=shift, axis=axis)
 
-    def load_patch(ref, v0, u0):
-        """(p+1)x(p+1) patch at dynamic integer (v0, u0): load an
-        aligned tile, rotate the remainder into place in-register."""
+    def load_tile(ref, v0, u0):
+        """Aligned tile load with the patch origin (v0, u0) rotated to
+        element (0, 0) — dynamic slice starts must be provably
+        8-sublane/128-lane aligned, so load aligned and roll the
+        remainder in-register."""
         v0a = pl.multiple_of((v0 // 8) * 8, 8)
         u0a = pl.multiple_of((u0 // 128) * 128, 128)
         tile = ref[pl.ds(v0a, t_rows), pl.ds(u0a, t_cols)]
         tile = roll(tile, -(v0 - v0a), 0)
-        tile = roll(tile, -(u0 - u0a), 1)
-        return tile[: p + 1, : p + 1]
+        return roll(tile, -(u0 - u0a), 1)
+
+    def load_patch(ref, v0, u0):
+        return load_tile(ref, v0, u0)[: p + 1, : p + 1]
 
     def one_feature(j, acc):
         i = blk * FPB + j
@@ -108,16 +112,40 @@ def _lk_level_kernel(
         # may overhang into the replicate band) — matches ops/lk.py.
         ok_in = (valid_ref[i, 0] > 0) & (v_t >= v_lo) & (v_t <= v_hi)
 
-        u0f = jnp.clip(jnp.floor(u_t - half), 0.0, max_u0)
-        v0f = jnp.clip(jnp.floor(v_t - half), 0.0, max_v0)
+        # Lower clip is 1 so the gradient neighbourhood load at
+        # (v0-1, u0-1) stays in bounds even for garbage invalid slots;
+        # valid features always sit well inside (pad, vpad >= 13).
+        u0f = jnp.clip(jnp.floor(u_t - half), 1.0, max_u0)
+        v0f = jnp.clip(jnp.floor(v_t - half), 1.0, max_v0)
         au = u_t - half - u0f
         av = v_t - half - v0f
         u0 = u0f.astype(jnp.int32)
         v0 = v0f.astype(jnp.int32)
 
-        t_pat = _interp(load_patch(img_i_ref, v0, u0), au, av, p)
-        gx_pat = _interp(load_patch(gx_ref, v0, u0), au, av, p)
-        gy_pat = _interp(load_patch(gy_ref, v0, u0), au, av, p)
+        # ONE tile load serves template AND its Scharr gradients: load
+        # with origin (v0-1, u0-1) so the (p+3)x(p+3) neighbourhood of
+        # the integer patch is in-register, then compute smooth/diff
+        # with static slices. Linear ops commute with bilinear interp,
+        # so this equals sampling precomputed gradient images — at a
+        # third of the tile-load traffic, and the gx/gy prep arrays
+        # vanish entirely. ext[r, c] = img[v0-1+r, u0-1+c].
+        ext = load_tile(img_i_ref, v0 - 1, u0 - 1)[: p + 3, : p + 3]
+        t_int = ext[1 : p + 2, 1 : p + 2]
+        # vertical smooth at rows v0..v0+p, cols u0-1..u0+p+1
+        sve = (
+            3.0 * ext[: p + 1, :] + 10.0 * ext[1 : p + 2, :]
+            + 3.0 * ext[2 : p + 3, :]
+        ) * (1.0 / 16.0)
+        gx_int = 0.5 * (sve[:, 2 : p + 3] - sve[:, : p + 1])
+        # horizontal smooth at rows v0-1..v0+p+1, cols u0..u0+p
+        she = (
+            3.0 * ext[:, : p + 1] + 10.0 * ext[:, 1 : p + 2]
+            + 3.0 * ext[:, 2 : p + 3]
+        ) * (1.0 / 16.0)
+        gy_int = 0.5 * (she[2 : p + 3, :] - she[: p + 1, :])
+        t_pat = _interp(t_int, au, av, p)
+        gx_pat = _interp(gx_int, au, av, p)
+        gy_pat = _interp(gy_int, au, av, p)
 
         gxx = jnp.sum(gx_pat * gx_pat)
         gxy = jnp.sum(gx_pat * gy_pat)
@@ -184,26 +212,77 @@ def _lk_level_kernel(
         )[:, None]
         return jnp.where(col == j, vals, acc)
 
-    acc = jax.lax.fori_loop(0, FPB, one_feature, jnp.zeros((8, FPB), jnp.float32))
+    # 4x unroll: each feature's work is a serial scalar->vector->scalar
+    # dependency chain (address math, tile load, roll, reductions);
+    # unrolling interleaves four independent chains so the scalar unit
+    # and VPU overlap across features.
+    def one_quad(q, acc):
+        for f in range(4):
+            acc = one_feature(4 * q + f, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, FPB // 4, one_quad, jnp.zeros((8, FPB), jnp.float32)
+    )
     out_ref[:, :] = acc
 
 
-def _pad_wrap(img: jax.Array, pad: int) -> jax.Array:
-    return jnp.concatenate([img[:, -pad:], img, img[:, :pad]], axis=1)
+@functools.lru_cache(maxsize=8)
+def _prep_operators(h: int, w: int, num_levels: int, half_win: int):
+    """Precomposed banded operators so every per-level prepped array is
+    exactly two MXU matmuls from the RAW image: out = L @ img @ R.
+
+    The naive prep (pyramid convs + wrap/edge/align pads as concats)
+    lowers to single-channel small convolutions and misaligned copies —
+    data-formatting ops measured at ~5.6 ms/frame on TPU v5e. Composing
+    blur+decimate chains, Scharr smooth/diff, and pad selections into one
+    (L, R) pair per output keeps the whole prep on the MXU (~0.4 ms).
+    Entries are dyadic rationals composed in f64 → exact in f32.
+
+    Returns (mats, meta): mats[lvl] = (L_im, R_im) as numpy f32, meta[lvl] = (h_l, wp_l).
+    """
+    p = 2 * half_win + 1
+    pad = half_win + 3
+    vpad = half_win + 4
+    t_rows, t_cols = _tile_shape(p)
+
+    mats = []
+    meta = []
+    v_k = np.eye(h, dtype=np.float64)  # level-k vertical operator (h_k, h)
+    u_k = np.eye(w, dtype=np.float64)
+    h_k, w_k = h, w
+    for lvl in range(num_levels + 1):
+        hp = -(-(h_k + 2 * vpad) // 8) * 8 + t_rows
+        wp_l = w_k + 2 * pad
+        wr = -(-wp_l // 128) * 128 + t_cols
+        pv = pyr.pad_matrix(hp, h_k, vpad, wrap=False).astype(np.float64)
+        ph = pyr.pad_matrix(wr, w_k, pad, wrap=True).astype(np.float64)
+        f32 = lambda m: np.ascontiguousarray(m, dtype=np.float32)
+        mats.append((f32(pv @ v_k), f32((ph @ u_k).T)))
+        meta.append((h_k, wp_l))
+        if lvl < num_levels:
+            v_k = pyr.blur_decimate_matrix(h_k, wrap=False).astype(np.float64) @ v_k
+            u_k = pyr.blur_decimate_matrix(w_k, wrap=True).astype(np.float64) @ u_k
+            h_k = -(-h_k // 2)
+            w_k = -(-w_k // 2)
+    return tuple(mats), tuple(meta)
 
 
-def _align_pad(img: jax.Array, t_rows: int, t_cols: int) -> jax.Array:
-    """Zero-pad so every aligned tile load stays in bounds: rows to a
-    multiple of 8 plus one tile, cols to a multiple of 128 plus one."""
-    h, wp = img.shape
-    hp = -(-h // 8) * 8 + t_rows
-    wr = -(-wp // 128) * 128 + t_cols
-    return jnp.pad(img, ((0, hp - h), (0, wr - wp)))
+@functools.lru_cache(maxsize=8)
+def _prep_device(h: int, w: int, num_levels: int, half_win: int):
+    """Device-resident copies of the prep operators.
+
+    The operators total ~25 MB at 960x480; passing them as jit ARGUMENTS
+    (ordinary device buffers, uploaded once per process) instead of
+    closing over numpy keeps them out of the executable — embedded HLO
+    constants were observed being re-uploaded through the device tunnel
+    on later executions (~8 ms/frame regression after other large
+    programs ran)."""
+    mats, meta = _prep_operators(h, w, num_levels, half_win)
+    dev = tuple(tuple(jax.device_put(a) for a in lvl) for lvl in mats)
+    return dev, meta
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_levels", "half_win", "iters", "eps", "interpret")
-)
 def track(
     img_prev: jax.Array,
     img_next: jax.Array,
@@ -218,47 +297,78 @@ def track(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pyramidal LK via the Pallas kernel; same contract as ops.lk.track."""
+    mats, meta = _prep_device(
+        img_prev.shape[0], img_prev.shape[1], num_levels, half_win
+    )
+    if uv_guess is None:
+        uv_guess = uv_prev
+    return _track_impl(
+        img_prev,
+        img_next,
+        uv_prev,
+        valid_in,
+        uv_guess,
+        mats,
+        meta=meta,
+        num_levels=num_levels,
+        half_win=half_win,
+        iters=iters,
+        eps=eps,
+        min_eig_threshold=min_eig_threshold,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "meta", "num_levels", "half_win", "iters", "eps",
+        "min_eig_threshold", "interpret",
+    ),
+)
+def _track_impl(
+    img_prev: jax.Array,
+    img_next: jax.Array,
+    uv_prev: jax.Array,
+    valid_in: jax.Array,
+    uv_guess: jax.Array,
+    mats,  # tuple per level of (L_im, R_im)
+    *,
+    meta,  # tuple per level of (h_l, wp_l)
+    num_levels: int,
+    half_win: int,
+    iters: int,
+    eps: float,
+    min_eig_threshold: float,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     w = img_prev.shape[1]
     n = uv_prev.shape[0]
     n_pad = -(-n // FPB) * FPB
     pad_feats = n_pad - n
     pad = half_win + 3
 
-    pyr_i = build_pyramid(img_prev, num_levels)
-    pyr_j = build_pyramid(img_next, num_levels)
-
-    if uv_guess is None:
-        uv_guess = uv_prev
     uv_prev_p = jnp.pad(uv_prev, ((0, pad_feats), (0, 0)))
     uv = jnp.pad(uv_guess, ((0, pad_feats), (0, 0)))
     status = jnp.pad(valid_in, (0, pad_feats))
 
-    p_full = 2 * half_win + 1
+    hi = jax.lax.Precision.HIGHEST
     for lvl in range(num_levels, -1, -1):
+        l_im, r_im = mats[lvl]
+        h_l, wp_l = meta[lvl]
         # Skip degenerate deep levels (OpenCV similarly reduces maxLevel
         # for small images); the replicate band handles moderate ones.
-        if pyr_i[lvl].shape[0] < half_win:
+        if h_l < half_win:
             continue
         s = 1.0 / (2.0**lvl)
         vpad = half_win + 4  # replicate band ≙ bilinear_sample's v-clamp
-        h_l = pyr_i[lvl].shape[0]
 
-        def prep(img):
-            img = _pad_wrap(img, pad)
-            img = jnp.pad(img, ((vpad, vpad), (0, 0)), mode="edge")
-            return img
+        def mm(left, img, right):
+            t = jnp.matmul(left, img, precision=hi)
+            return jnp.matmul(t, right, precision=hi)
 
-        im_i = prep(pyr_i[lvl])
-        im_j = prep(pyr_j[lvl])
-        gx, gy = scharr_gradients(pyr_i[lvl])
-        gx = prep(gx)
-        gy = prep(gy)
-        wp_l = im_i.shape[1]
-        t_rows, t_cols = _tile_shape(p_full)
-        im_i = _align_pad(im_i, t_rows, t_cols)
-        im_j = _align_pad(im_j, t_rows, t_cols)
-        gx = _align_pad(gx, t_rows, t_cols)
-        gy = _align_pad(gy, t_rows, t_cols)
+        im_i = mm(l_im, img_prev, r_im)
+        im_j = mm(l_im, img_next, r_im)
 
         uv_i_l = (uv_prev_p * s) + jnp.array([pad, vpad], jnp.float32)
         uv_j_l = (uv * s) + jnp.array([pad, vpad], jnp.float32)
@@ -278,15 +388,7 @@ def track(
             kernel,
             grid=(n_pad // FPB,),
             out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=pl.BlockSpec((8, FPB), lambda b: (0, b), memory_space=pltpu.VMEM),
             interpret=interpret,
         )(
@@ -295,8 +397,6 @@ def track(
             status.astype(jnp.int32)[:, None],
             im_i,
             im_j,
-            gx,
-            gy,
         )
         uv = (jnp.stack([out[0] - pad, out[1] - vpad], axis=-1)) / s
         status = out[2] > 0.5
