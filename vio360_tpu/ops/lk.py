@@ -97,7 +97,7 @@ def resolve_backend(backend: str = "auto") -> str:
     """'auto' -> the Pallas VMEM kernel on TPU (XLA gathers are scalar-
     unit bound there, ~100x slower), pure-XLA everywhere else."""
     if backend == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "matmul" if jax.default_backend() == "tpu" else "xla"
     return backend
 
 
@@ -114,7 +114,20 @@ def track(
     backend: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pyramidal LK for all features at once (backend dispatcher)."""
-    if resolve_backend(backend) == "pallas":
+    resolved = resolve_backend(backend)
+    if resolved == "matmul":
+        from . import lk_matmul
+
+        # Synchronized fixed-iteration ladder: 8 iterations with
+        # convergence masking covers cv2's 30-with-eps-exit behavior
+        # (convergence is quadratic; extra sync'd iterations are wasted
+        # MXU work for already-converged features).
+        return lk_matmul.track(
+            img_prev, img_next, uv_prev, valid_in, uv_guess,
+            num_levels=num_levels, half_win=half_win,
+            iters=min(iters, 8), eps=eps,
+        )
+    if resolved == "pallas":
         from . import lk_pallas
 
         return lk_pallas.track(

@@ -60,29 +60,31 @@ def _tile_shape(p: int) -> tuple[int, int]:
     return rows, cols
 
 
-def _lk_level_kernel(
-    uv_i_ref,  # [N,2] template positions (padded coords) — VMEM
-    uv_j_ref,  # [N,2] initial guesses (padded coords)
+def _lk_pyr_kernel(
+    uv_p_ref,  # [N,2] previous-frame positions, level-0 CONTENT coords
+    uv_g_ref,  # [N,2] initial guesses, level-0 content coords
     valid_ref,  # [N,1] int32
-    img_i_ref,  # [Hp, Wr] template image (aligned-padded)
-    img_j_ref,  # [Hp, Wr] moving image
-    out_ref,  # (8, FPB) block: rows 0=u, 1=v, 2=status
-    *,
+    *refs,  # im_i, im_j per level (coarse->fine), then out_ref
+    metas,  # tuple per processed level (coarse->fine) of (h_l, wp_l, inv_scale)
     half: int,
     iters: int,
     eps: float,
-    height: int,  # CONTENT height (pre-padding)
-    width_pad: int,
-    vpad: int,  # vertical edge-replicate padding rows (top & bottom)
     min_eig_thr: float,
     use_jnp_roll: bool,
 ):
+    """ALL pyramid levels fused in one dispatch: per feature, the
+    level-L..0 extraction + iteration ladders run back to back with the
+    position carried in level-0 content coordinates. One pallas call per
+    frame instead of one per level — on the tunneled TPU each kernel
+    execution pays a fixed host-sync cost once any D2H has happened, so
+    dispatch count dominates the real per-frame latency."""
+    out_ref = refs[-1]
+    img_refs = refs[:-1]
     blk = pl.program_id(0)
     p = 2 * half + 1
     npix = float(p * p)
-    max_u0 = float(width_pad - p - 2)
-    max_v0 = float(height + 2 * vpad - p - 2)
-    v_lo, v_hi = float(vpad), float(vpad + height - 1)
+    pad = half + 3
+    vpad = half + 4
     t_rows, t_cols = _tile_shape(p)
 
     def roll(x, shift, axis):
@@ -101,16 +103,17 @@ def _lk_level_kernel(
         tile = roll(tile, -(v0 - v0a), 0)
         return roll(tile, -(u0 - u0a), 1)
 
-    def load_patch(ref, v0, u0):
-        return load_tile(ref, v0, u0)[: p + 1, : p + 1]
-
-    def one_feature(j, acc):
-        i = blk * FPB + j
-        u_t = uv_i_ref[i, 0]
-        v_t = uv_i_ref[i, 1]
+    def level_step(im_i_ref, im_j_ref, h_l, wp_l, s, up, vp, u, v, ok):
+        """One pyramid level for one feature; all positions in level-0
+        content coords. Returns updated (u, v, ok)."""
+        max_u0 = float(wp_l - p - 2)
+        max_v0 = float(h_l + 2 * vpad - p - 2)
+        v_lo, v_hi = float(vpad), float(vpad + h_l - 1)
+        u_t = up * s + pad
+        v_t = vp * s + vpad
         # Template center must sit inside the content rows (the window
         # may overhang into the replicate band) — matches ops/lk.py.
-        ok_in = (valid_ref[i, 0] > 0) & (v_t >= v_lo) & (v_t <= v_hi)
+        ok_in = ok & (v_t >= v_lo) & (v_t <= v_hi)
 
         # Lower clip is 1 so the gradient neighbourhood load at
         # (v0-1, u0-1) stays in bounds even for garbage invalid slots;
@@ -126,10 +129,9 @@ def _lk_level_kernel(
         # with origin (v0-1, u0-1) so the (p+3)x(p+3) neighbourhood of
         # the integer patch is in-register, then compute smooth/diff
         # with static slices. Linear ops commute with bilinear interp,
-        # so this equals sampling precomputed gradient images — at a
-        # third of the tile-load traffic, and the gx/gy prep arrays
-        # vanish entirely. ext[r, c] = img[v0-1+r, u0-1+c].
-        ext = load_tile(img_i_ref, v0 - 1, u0 - 1)[: p + 3, : p + 3]
+        # so this equals sampling precomputed gradient images at a third
+        # of the tile-load traffic. ext[r, c] = img[v0-1+r, u0-1+c].
+        ext = load_tile(im_i_ref, v0 - 1, u0 - 1)[: p + 3, : p + 3]
         t_int = ext[1 : p + 2, 1 : p + 2]
         # vertical smooth at rows v0..v0+p, cols u0-1..u0+p+1
         sve = (
@@ -161,16 +163,16 @@ def _lk_level_kernel(
         # the outer loop reloads and the inner loop iterates on the
         # cached integer patch with only fractional re-interpolation.
         def outer_cond(carry):
-            it, u, v, active = carry
+            it, uu, vv, active = carry
             return (it < iters) & active
 
         def outer_body(carry):
-            it, u, v, active = carry
-            cu0f = jnp.clip(jnp.floor(u - half), 0.0, max_u0)
-            cv0f = jnp.clip(jnp.floor(v - half), 0.0, max_v0)
-            j_int = load_patch(
-                img_j_ref, cv0f.astype(jnp.int32), cu0f.astype(jnp.int32)
-            )
+            it, uu, vv, active = carry
+            cu0f = jnp.clip(jnp.floor(uu - half), 0.0, max_u0)
+            cv0f = jnp.clip(jnp.floor(vv - half), 0.0, max_v0)
+            j_int = load_tile(
+                im_j_ref, cv0f.astype(jnp.int32), cu0f.astype(jnp.int32)
+            )[: p + 1, : p + 1]
 
             def inner_cond(c):
                 it2, u2, v2, act2 = c
@@ -190,40 +192,45 @@ def _lk_level_kernel(
                 act2 = act2 & (du * du + dv * dv >= eps * eps)
                 return (it2 + 1, u2 + du, v2 + dv, act2)
 
-            return jax.lax.while_loop(inner_cond, inner_body, (it, u, v, active))
+            return jax.lax.while_loop(inner_cond, inner_body, (it, uu, vv, active))
 
-        u_j = uv_j_ref[i, 0]
-        v_j = uv_j_ref[i, 1]
         active0 = ok_in & ok_g
         _, u_f, v_f, _ = jax.lax.while_loop(
-            outer_cond, outer_body, (jnp.asarray(0, jnp.int32), u_j, v_j, active0)
+            outer_cond,
+            outer_body,
+            (jnp.asarray(0, jnp.int32), u * s + pad, v * s + vpad, active0),
         )
 
         ok_out = ok_in & ok_g & (v_f >= v_lo) & (v_f <= v_hi)
-        u_out = jnp.where(ok_out, u_f, u_t)
-        v_out = jnp.where(ok_out, v_f, v_t)
+        # Failed features fall back to the previous-frame position, in
+        # level-0 coords (matches the per-level formulation where the
+        # level output was u_t and levels rescale losslessly).
+        u_n = jnp.where(ok_out, (u_f - pad) / s, up)
+        v_n = jnp.where(ok_out, (v_f - vpad) / s, vp)
+        return u_n, v_n, ok_out
+
+    def one_feature(j, acc):
+        i = blk * FPB + j
+        up = uv_p_ref[i, 0]
+        vp = uv_p_ref[i, 1]
+        u = uv_g_ref[i, 0]
+        v = uv_g_ref[i, 1]
+        ok = valid_ref[i, 0] > 0
+        for li, (h_l, wp_l, s) in enumerate(metas):
+            u, v, ok = level_step(
+                img_refs[2 * li], img_refs[2 * li + 1], h_l, wp_l, s, up, vp, u, v, ok
+            )
         # One-hot column write (Mosaic has no scatter primitive).
         col = jax.lax.broadcasted_iota(jnp.int32, (8, FPB), 1)
         vals = jnp.concatenate(
             [
-                jnp.stack([u_out, v_out, ok_out.astype(jnp.float32)]),
+                jnp.stack([u, v, ok.astype(jnp.float32)]),
                 jnp.zeros((5,), jnp.float32),
             ]
         )[:, None]
         return jnp.where(col == j, vals, acc)
 
-    # 4x unroll: each feature's work is a serial scalar->vector->scalar
-    # dependency chain (address math, tile load, roll, reductions);
-    # unrolling interleaves four independent chains so the scalar unit
-    # and VPU overlap across features.
-    def one_quad(q, acc):
-        for f in range(4):
-            acc = one_feature(4 * q + f, acc)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, FPB // 4, one_quad, jnp.zeros((8, FPB), jnp.float32)
-    )
+    acc = jax.lax.fori_loop(0, FPB, one_feature, jnp.zeros((8, FPB), jnp.float32))
     out_ref[:, :] = acc
 
 
@@ -346,13 +353,16 @@ def _track_impl(
     n = uv_prev.shape[0]
     n_pad = -(-n // FPB) * FPB
     pad_feats = n_pad - n
-    pad = half_win + 3
 
-    uv_prev_p = jnp.pad(uv_prev, ((0, pad_feats), (0, 0)))
-    uv = jnp.pad(uv_guess, ((0, pad_feats), (0, 0)))
-    status = jnp.pad(valid_in, (0, pad_feats))
+    uv_p = jnp.pad(uv_prev, ((0, pad_feats), (0, 0))).astype(jnp.float32)
+    uv_g = jnp.pad(uv_guess, ((0, pad_feats), (0, 0))).astype(jnp.float32)
+    valid = jnp.pad(valid_in, (0, pad_feats))
 
+    # Per-level padded images via two MXU matmuls each; all levels feed
+    # ONE fused kernel (see _lk_pyr_kernel).
     hi = jax.lax.Precision.HIGHEST
+    imgs = []
+    kernel_metas = []
     for lvl in range(num_levels, -1, -1):
         l_im, r_im = mats[lvl]
         h_l, wp_l = meta[lvl]
@@ -360,46 +370,34 @@ def _track_impl(
         # for small images); the replicate band handles moderate ones.
         if h_l < half_win:
             continue
-        s = 1.0 / (2.0**lvl)
-        vpad = half_win + 4  # replicate band ≙ bilinear_sample's v-clamp
 
         def mm(left, img, right):
             t = jnp.matmul(left, img, precision=hi)
             return jnp.matmul(t, right, precision=hi)
 
-        im_i = mm(l_im, img_prev, r_im)
-        im_j = mm(l_im, img_next, r_im)
+        imgs.append(mm(l_im, img_prev, r_im))
+        imgs.append(mm(l_im, img_next, r_im))
+        kernel_metas.append((h_l, wp_l, 1.0 / (2.0**lvl)))
 
-        uv_i_l = (uv_prev_p * s) + jnp.array([pad, vpad], jnp.float32)
-        uv_j_l = (uv * s) + jnp.array([pad, vpad], jnp.float32)
-
-        kernel = functools.partial(
-            _lk_level_kernel,
-            half=half_win,
-            iters=iters,
-            eps=eps,
-            height=h_l,
-            width_pad=wp_l,
-            vpad=vpad,
-            min_eig_thr=min_eig_threshold,
-            use_jnp_roll=interpret,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid=(n_pad // FPB,),
-            out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-            out_specs=pl.BlockSpec((8, FPB), lambda b: (0, b), memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(
-            uv_i_l.astype(jnp.float32),
-            uv_j_l.astype(jnp.float32),
-            status.astype(jnp.int32)[:, None],
-            im_i,
-            im_j,
-        )
-        uv = (jnp.stack([out[0] - pad, out[1] - vpad], axis=-1)) / s
-        status = out[2] > 0.5
+    kernel = functools.partial(
+        _lk_pyr_kernel,
+        metas=tuple(kernel_metas),
+        half=half_win,
+        iters=iters,
+        eps=eps,
+        min_eig_thr=min_eig_threshold,
+        use_jnp_roll=interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // FPB,),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(imgs)),
+        out_specs=pl.BlockSpec((8, FPB), lambda b: (0, b), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(uv_p, uv_g, valid.astype(jnp.int32)[:, None], *imgs)
+    uv = jnp.stack([out[0], out[1]], axis=-1)
+    status = out[2] > 0.5
 
     uv = uv[:n]
     status = status[:n]

@@ -124,6 +124,15 @@ def pad_matrix(n_out: int, n: int, before: int, wrap: bool) -> "_np.ndarray":
     return m.astype(_np.float32)
 
 
+def wrap_pad_matrix(n_out: int, n: int) -> "_np.ndarray":
+    """(n_out, n) selection: row r reads src (r mod n) — append-only
+    horizontal wrap padding (ERP seam) to a 128-aligned width."""
+    m = _np.zeros((n_out, n))
+    for r in range(n_out):
+        m[r, r % n] = 1.0
+    return m.astype(_np.float32)
+
+
 def scharr_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Scharr 3x3 x/y gradients (OpenCV LK uses Scharr-like deriv), wrap in u.
 

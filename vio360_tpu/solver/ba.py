@@ -143,42 +143,16 @@ def run_ba_pallas(
         inv_sigma2, huber_delta,
     )
 
-    def lm_cond(carry):
-        *_, it, done = carry
-        return (it < max_iterations) & ~done
-
-    def lm_body(carry):
-        r, t, pts, lam, cost, it, done = carry
-        r_n, t_n, pts_n, cur_cost, new_cost, step_sq = ba_pallas.ba_iteration(
-            r, t, pts, obs_uv, obs_w, fixed_pose, fixed_point, lam,
-            r_cb, t_cb, width, height,
-            pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
-            interpret=interpret,
-        )
-        accept = new_cost < cur_cost
-        r = jnp.where(accept, r_n, r)
-        t = jnp.where(accept, t_n, t)
-        pts = jnp.where(accept, pts_n, pts)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        step_small = step_sq < 1e-14
-        rel_drop = (cur_cost - new_cost) < 1e-6 * cur_cost
-        done = (accept & (step_small | rel_drop)) | (lam > 1e5)
-        cost = jnp.where(accept, new_cost, cur_cost)
-        return (r, t, pts, lam, cost, it + 1, done)
-
-    r_fin, t_fin, pts_fin, _, final_cost, iters, _ = jax.lax.while_loop(
-        lm_cond,
-        lm_body,
-        (
-            r_wb,
-            t_wb,
-            points,
-            jnp.asarray(1e-4, jnp.float32),
-            initial_cost,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-        ),
+    # Whole LM loop in ONE kernel dispatch (ba_pallas._lm_loop runs the
+    # accept/reject control flow in-kernel; per-dispatch host-sync costs
+    # on the tunneled TPU make one-dispatch-per-iteration ~10x slower).
+    r_fin, t_fin, pts_fin, final_cost, iters = ba_pallas.ba_solve(
+        r_wb, t_wb, points, obs_uv, obs_w, fixed_pose, fixed_point,
+        jnp.asarray(1e-4, jnp.float32), r_cb, t_cb, width, height,
+        pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+        max_iterations=max_iterations, interpret=interpret,
     )
+    final_cost = jnp.where(iters > 0, final_cost, initial_cost)
     return _classify(
         r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
         r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,

@@ -73,21 +73,57 @@ def _asin(t):
     return _atan2(t, c)
 
 
-def _ba_iter_kernel(
-    # inputs (VMEM unless noted)
-    pose_ref,  # [K, 12] rows: r00..r22, t0..t2
-    pts_ref,  # [8, M] rows 0..2 = x, y, z
-    obs_u_ref,  # [K, M]
-    obs_v_ref,  # [K, M]
-    wmask_ref,  # [K, M] f32 1.0 = active observation
-    fixedpt_ref,  # [8, M] row 0: 1.0 = fixed landmark
-    fm_col_ref,  # [P6, 1] free-pose mask in (c,k) order (P6 = pad of 6K)
-    fm_row_ref,  # [1, P6]
-    scal_ref,  # SMEM [1, 14]: lam, r_cb(9), t_cb(3), inv_sigma2
-    # outputs
-    pose_out_ref,  # [K, 12]
-    pts_out_ref,  # [8, M]
-    out_ref,  # [1, 128]: 0=cur_cost, 1=new_cost, 2=step_sq
+def _evaluate_plane(
+    r, t,  # [3][3] / [3] of [K, 1] pose columns
+    px, py, pz,  # [1, M]
+    obs_u, obs_v,  # [K, M]
+    wmask,  # [K, M]
+    rcb, tcb, inv_s2,
+    width: float,
+    height: float,
+    huber_delta: float,
+):
+    """ERP reprojection on [K, M] planes -> (pb, pc, res_u, res_v,
+    chi2, huber cost). Mirrors solver/ba.py::_evaluate."""
+    d2 = huber_delta * huber_delta
+    dx = px - t[0]  # [K, M]
+    dy = py - t[1]
+    dz = pz - t[2]
+    # body frame: R^T (p - t)
+    pb = [r[0][i0] * dx + r[1][i0] * dy + r[2][i0] * dz for i0 in range(3)]
+    # camera frame: R_cb pb + t_cb
+    pc = [
+        rcb[i0][0] * pb[0] + rcb[i0][1] * pb[1] + rcb[i0][2] * pb[2] + tcb[i0]
+        for i0 in range(3)
+    ]
+    x, y, z = pc
+    theta = _atan2(x, z)
+    # -asin(y/|p|) == -atan2(y, sqrt(x^2+z^2))
+    phi = -_atan2(y, jnp.sqrt(jnp.maximum(x * x + z * z, 1e-24)))
+    proj_u = width * (0.5 + theta / _TWO_PI)
+    proj_v = height * (0.5 - phi / jnp.pi)
+    du = obs_u - proj_u
+    du = du - width * jnp.round(du / width)  # horizontal wrap
+    dv = obs_v - proj_v
+    c2 = (du * du + dv * dv) * inv_s2
+    rho = jnp.where(
+        c2 <= d2, c2, 2.0 * huber_delta * jnp.sqrt(jnp.maximum(c2, 1e-20)) - d2
+    )
+    cost = 0.5 * jnp.sum(rho * wmask)
+    return pb, pc, du, dv, c2, cost
+
+
+def _lm_iteration(
+    pose12,  # [K, 12] value: rows r00..r22, t0..t2
+    px, py, pz,  # [1, M] landmark rows
+    obs_u, obs_v,  # [K, M]
+    wmask,  # [K, M] f32 1.0 = active observation
+    fixedpt,  # [1, M] 1.0 = fixed landmark
+    fm_col,  # [6K, 1] free-pose mask in (c, k) order
+    fm_row,  # [1, 6K]
+    lam,  # scalar
+    rcb, tcb,  # [3][3] / [3] scalars
+    inv_s2,  # scalar
     *,
     k: int,
     m: int,
@@ -96,55 +132,24 @@ def _ba_iter_kernel(
     huber_delta: float,
     diag_damping: bool,
 ):
+    """One LM iteration on VALUES (usable both as a standalone kernel
+    body and inside an in-kernel LM while_loop). Returns
+    (pose12_new [K,12], px_new, py_new, pz_new, cur_cost, new_cost,
+    step_sq)."""
     f32 = jnp.float32
-    lam = scal_ref[0, 0]
-    rcb = [[scal_ref[0, 1 + 3 * i + j] for j in range(3)] for i in range(3)]
-    tcb = [scal_ref[0, 10 + i] for i in range(3)]
-    inv_s2 = scal_ref[0, 13]
     d2 = huber_delta * huber_delta
     cu = width / _TWO_PI
     cv = height / jnp.pi
 
     # pose components as [K, 1] columns
-    r = [[pose_ref[:, 3 * i + j][:, None] for j in range(3)] for i in range(3)]
-    t = [pose_ref[:, 9 + i][:, None] for i in range(3)]
-    px = pts_ref[0:1, :]  # [1, M]
-    py = pts_ref[1:2, :]
-    pz = pts_ref[2:3, :]
-    obs_u = obs_u_ref[:, :]
-    obs_v = obs_v_ref[:, :]
-    wmask = wmask_ref[:, :]
-    fixedpt = fixedpt_ref[0:1, :]  # [1, M]
+    r = [[pose12[:, 3 * i + j][:, None] for j in range(3)] for i in range(3)]
+    t = [pose12[:, 9 + i][:, None] for i in range(3)]
 
     def evaluate(r, t, px, py, pz):
-        """-> (pb, pc, res_u, res_v, chi2, cost) on [K, M] planes."""
-        dx = px - t[0]  # [K, M]
-        dy = py - t[1]
-        dz = pz - t[2]
-        # body frame: R^T (p - t)
-        pb = [
-            r[0][i0] * dx + r[1][i0] * dy + r[2][i0] * dz for i0 in range(3)
-        ]
-        # camera frame: R_cb pb + t_cb
-        pc = [
-            rcb[i0][0] * pb[0] + rcb[i0][1] * pb[1] + rcb[i0][2] * pb[2] + tcb[i0]
-            for i0 in range(3)
-        ]
-        x, y, z = pc
-        theta = _atan2(x, z)
-        # -asin(y/|p|) == -atan2(y, sqrt(x^2+z^2))
-        phi = -_atan2(y, jnp.sqrt(jnp.maximum(x * x + z * z, 1e-24)))
-        proj_u = width * (0.5 + theta / _TWO_PI)
-        proj_v = height * (0.5 - phi / jnp.pi)
-        du = obs_u - proj_u
-        du = du - width * jnp.round(du / width)  # horizontal wrap
-        dv = obs_v - proj_v
-        c2 = (du * du + dv * dv) * inv_s2
-        rho = jnp.where(
-            c2 <= d2, c2, 2.0 * huber_delta * jnp.sqrt(jnp.maximum(c2, 1e-20)) - d2
+        return _evaluate_plane(
+            r, t, px, py, pz, obs_u, obs_v, wmask, rcb, tcb, inv_s2,
+            width, height, huber_delta,
         )
-        cost = 0.5 * jnp.sum(rho * wmask)
-        return pb, pc, du, dv, c2, cost
 
     pb, pc, du, dv, c2, cur_cost = evaluate(r, t, px, py, pz)
 
@@ -339,8 +344,8 @@ def _ba_iter_kernel(
     rhs = jnp.concatenate(rhs_c, axis=0)  # [6K, 1]
 
     # gauge masks (flat (c,k) order)
-    fm_col = fm_col_ref[:n6, :]  # [6K, 1]
-    fm_row = fm_row_ref[:, :n6]  # [1, 6K]
+    fm_col = fm_col[:n6, :]  # [6K, 1]
+    fm_row = fm_row[:, :n6]  # [1, 6K]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n6, n6), 0)
     iota_n2 = jax.lax.broadcasted_iota(jnp.int32, (n6, n6), 1)
     s_mat = s_mat * fm_col * fm_row + (iota_n == iota_n2).astype(f32) * (1.0 - fm_col)
@@ -432,11 +437,56 @@ def _ba_iter_kernel(
         dl[0] * dl[0] + dl[1] * dl[1] + dl[2] * dl[2]
     )
 
-    # ---- outputs ----
-    for i0 in range(3):
-        for j0 in range(3):
-            pose_out_ref[:, 3 * i0 + j0] = r_new[i0][j0][:, 0]
-        pose_out_ref[:, 9 + i0] = t_new[i0][:, 0]
+    pose_new = jnp.concatenate(
+        [r_new[i0][j0] for i0 in range(3) for j0 in range(3)] + t_new, axis=1
+    )  # [K, 12]
+    return pose_new, px_new, py_new, pz_new, cur_cost, new_cost, step_sq
+
+
+def _read_scal(scal_ref):
+    lam = scal_ref[0, 0]
+    rcb = [[scal_ref[0, 1 + 3 * i + j] for j in range(3)] for i in range(3)]
+    tcb = [scal_ref[0, 10 + i] for i in range(3)]
+    inv_s2 = scal_ref[0, 13]
+    return lam, rcb, tcb, inv_s2
+
+
+def _ba_iter_kernel(
+    # inputs (VMEM unless noted)
+    pose_ref,  # [K, 12] rows: r00..r22, t0..t2
+    pts_ref,  # [8, M] rows 0..2 = x, y, z
+    obs_u_ref,  # [K, M]
+    obs_v_ref,  # [K, M]
+    wmask_ref,  # [K, M] f32 1.0 = active observation
+    fixedpt_ref,  # [8, M] row 0: 1.0 = fixed landmark
+    fm_col_ref,  # [P6, 1] free-pose mask in (c,k) order (P6 = pad of 6K)
+    fm_row_ref,  # [1, P6]
+    scal_ref,  # SMEM [1, 14]: lam, r_cb(9), t_cb(3), inv_sigma2
+    # outputs
+    pose_out_ref,  # [K, 12]
+    pts_out_ref,  # [8, M]
+    out_ref,  # [1, 128]: 0=cur_cost, 1=new_cost, 2=step_sq
+    *,
+    k: int,
+    m: int,
+    width: float,
+    height: float,
+    huber_delta: float,
+    diag_damping: bool,
+):
+    f32 = jnp.float32
+    lam, rcb, tcb, inv_s2 = _read_scal(scal_ref)
+    pose_new, px_new, py_new, pz_new, cur_cost, new_cost, step_sq = _lm_iteration(
+        pose_ref[:, :],
+        pts_ref[0:1, :], pts_ref[1:2, :], pts_ref[2:3, :],
+        obs_u_ref[:, :], obs_v_ref[:, :], wmask_ref[:, :],
+        fixedpt_ref[0:1, :],
+        fm_col_ref[:, :], fm_row_ref[:, :],
+        lam, rcb, tcb, inv_s2,
+        k=k, m=m, width=width, height=height,
+        huber_delta=huber_delta, diag_damping=diag_damping,
+    )
+    pose_out_ref[:, :] = pose_new
     pts_out_ref[0:1, :] = px_new
     pts_out_ref[1:2, :] = py_new
     pts_out_ref[2:3, :] = pz_new
@@ -548,4 +598,327 @@ def ba_iteration(
         scal_out[0, 0],
         scal_out[0, 1],
         scal_out[0, 2],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve kernels: the LM accept/reject loop (and for PnP the chi2
+# outlier rounds) run INSIDE one Pallas dispatch. On the tunneled TPU
+# every pallas-kernel execution pays a fixed host-sync penalty (~0.7 ms)
+# once any device->host transfer has happened in the process, so a
+# 10-iteration LM solve as 10 dispatches costs ~7 ms of pure overhead;
+# as ONE dispatch it costs it once. State (pose [K,12], landmarks
+# [1,M]x3, lam) lives in the while_loop carry in VMEM/registers.
+# ---------------------------------------------------------------------------
+
+
+def _lm_loop(
+    pose0, px0, py0, pz0, obs_u, obs_v, wmask, fixedpt, fm_col, fm_row,
+    lam0, rcb, tcb, inv_s2,
+    *,
+    k, m, width, height, huber_delta, diag_damping, max_iterations,
+    step_tol, rel_tol,
+):
+    """In-kernel LM loop; control flow mirrors ba.run_ba_pallas /
+    pnp.solve_pnp_pallas exactly. Returns (pose, px, py, pz, cost, iters)."""
+    f32 = jnp.float32
+
+    def cond(c):
+        it, done = c[0], c[1]
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(c):
+        it, done, pose, px, py, pz, lam, cost = c
+        pose_n, pxn, pyn, pzn, cur, new, step = _lm_iteration(
+            pose, px, py, pz, obs_u, obs_v, wmask, fixedpt, fm_col, fm_row,
+            lam, rcb, tcb, inv_s2,
+            k=k, m=m, width=width, height=height,
+            huber_delta=huber_delta, diag_damping=diag_damping,
+        )
+        accept = new < cur
+        pose = jnp.where(accept, pose_n, pose)
+        px = jnp.where(accept, pxn, px)
+        py = jnp.where(accept, pyn, py)
+        pz = jnp.where(accept, pzn, pz)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6)
+        )
+        done = (accept & ((step < step_tol) | ((cur - new) < rel_tol * cur))) | (
+            lam > 1e5
+        )
+        cost = jnp.where(accept, new, cur)
+        return (it + 1, done, pose, px, py, pz, lam, cost)
+
+    it, _, pose, px, py, pz, _, cost = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            pose0, px0, py0, pz0,
+            lam0,
+            jnp.asarray(0.0, f32),
+        ),
+    )
+    return pose, px, py, pz, cost, it
+
+
+def _ba_solve_kernel(
+    pose_ref, pts_ref, obs_u_ref, obs_v_ref, wmask_ref, fixedpt_ref,
+    fm_col_ref, fm_row_ref, scal_ref,
+    pose_out_ref, pts_out_ref, out_ref,
+    *,
+    k, m, width, height, huber_delta, diag_damping, max_iterations,
+):
+    f32 = jnp.float32
+    lam0, rcb, tcb, inv_s2 = _read_scal(scal_ref)
+    pose, px, py, pz, cost, iters = _lm_loop(
+        pose_ref[:, :],
+        pts_ref[0:1, :], pts_ref[1:2, :], pts_ref[2:3, :],
+        obs_u_ref[:, :], obs_v_ref[:, :], wmask_ref[:, :],
+        fixedpt_ref[0:1, :],
+        fm_col_ref[:, :], fm_row_ref[:, :],
+        lam0, rcb, tcb, inv_s2,
+        k=k, m=m, width=width, height=height, huber_delta=huber_delta,
+        diag_damping=diag_damping, max_iterations=max_iterations,
+        step_tol=1e-14, rel_tol=1e-6,
+    )
+    pose_out_ref[:, :] = pose
+    pts_out_ref[0:1, :] = px
+    pts_out_ref[1:2, :] = py
+    pts_out_ref[2:3, :] = pz
+    pts_out_ref[3:, :] = jnp.zeros((5, m), f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out_ref[:, :] = (
+        jnp.where(lane == 0, cost, 0.0)
+        + jnp.where(lane == 1, iters.astype(f32), 0.0)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "huber_delta", "diag_damping", "max_iterations",
+        "pixel_noise_std", "interpret",
+    ),
+)
+def ba_solve(
+    r_wb, t_wb, points, obs_uv, obs_w, fixed_pose, fixed_point, lam,
+    r_cb, t_cb,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    diag_damping: bool = False,
+    max_iterations: int = 50,
+    interpret: bool = False,
+):
+    """Full LM solve in ONE kernel dispatch. Same argument contract as
+    ``ba_iteration``; returns (r_new, t_new, pts_new, final_cost, iters)."""
+    k, m = obs_w.shape
+    assert m % 128 == 0, "landmark capacity must be lane-aligned"
+    f32 = jnp.float32
+    pose = jnp.concatenate([r_wb.reshape(k, 9), t_wb], axis=1).astype(f32)
+    pts_t = jnp.zeros((8, m), f32).at[:3, :].set(points.T.astype(f32))
+    fixedpt = jnp.zeros((8, m), f32).at[0, :].set(fixed_point.astype(f32))
+    p6 = -(-(6 * k) // 8) * 8
+    fm = jnp.tile((~fixed_pose).astype(f32), (6,))  # (c,k) order
+    fm_col = jnp.zeros((p6, 1), f32).at[: 6 * k, 0].set(fm)
+    fm_row = jnp.zeros((1, p6), f32).at[0, : 6 * k].set(fm)
+    inv_s2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    scal = jnp.concatenate(
+        [
+            jnp.asarray(lam, f32).reshape(1),
+            r_cb.astype(f32).reshape(9),
+            t_cb.astype(f32).reshape(3),
+            jnp.asarray(inv_s2, f32).reshape(1),
+        ]
+    ).reshape(1, 14)
+
+    kernel = functools.partial(
+        _ba_solve_kernel,
+        k=k, m=m, width=float(width), height=float(height),
+        huber_delta=float(huber_delta), diag_damping=diag_damping,
+        max_iterations=max_iterations,
+    )
+    pose_out, pts_out, scal_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((k, 12), f32),
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        pose,
+        pts_t,
+        obs_uv[..., 0].astype(f32),
+        obs_uv[..., 1].astype(f32),
+        obs_w.astype(f32),
+        fixedpt,
+        fm_col,
+        fm_row,
+        scal,
+    )
+    r_new = pose_out[:, :9].reshape(k, 3, 3)
+    t_new = pose_out[:, 9:]
+    pts_new = pts_out[:3, :].T
+    return r_new, t_new, pts_new, scal_out[0, 0], scal_out[0, 1].astype(jnp.int32)
+
+
+def _pnp_solve_kernel(
+    pose_ref,  # [1, 12]
+    pts_ref,  # [8, M]
+    obs_u_ref, obs_v_ref,  # [1, M]
+    active_ref,  # [1, M] f32
+    marg_ref,  # [1, M] f32
+    scal_ref,  # SMEM [1, 14]
+    pose_out_ref,  # [1, 12]
+    flags_out_ref,  # [8, M] row 0: latched outlier
+    out_ref,  # [1, 128]: 0=final_cost, 1=n_inliers, 2=n_outliers
+    *,
+    m, width, height, huber_delta, chi2_threshold, rounds, max_iterations,
+):
+    """4-round PnP entirely in-kernel: [LM solve -> chi2 classify],
+    outliers latched across rounds, each round restarting from the
+    initial pose with a fresh lam (Optimizer.cpp:83-302 semantics,
+    matching pnp.solve_pnp_pallas's per-round control flow)."""
+    f32 = jnp.float32
+    lam0, rcb, tcb, inv_s2 = _read_scal(scal_ref)
+    pose0 = pose_ref[:, :]
+    px = pts_ref[0:1, :]
+    py = pts_ref[1:2, :]
+    pz = pts_ref[2:3, :]
+    obs_u = obs_u_ref[:, :]
+    obs_v = obs_v_ref[:, :]
+    active = active_ref[:, :]
+    marg = marg_ref[:, :]
+    fixedpt = jnp.ones((1, m), f32)
+    fm_col = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) < 6).astype(f32)
+    fm_row = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) < 6).astype(f32)
+
+    def round_body(rnd, carry):
+        pose_fin, outlier, final_cost = carry
+        wmask = active * (1.0 - outlier)
+        pose, _, _, _, _, _ = _lm_loop(
+            pose0, px, py, pz, obs_u, obs_v, wmask, fixedpt, fm_col, fm_row,
+            lam0, rcb, tcb, inv_s2,
+            k=1, m=m, width=width, height=height, huber_delta=huber_delta,
+            diag_damping=True, max_iterations=max_iterations,
+            step_tol=1e-16, rel_tol=1e-6,
+        )
+        # chi2 classification at the solution (raw wrapped residuals)
+        r_s = [[pose[:, 3 * i0 + j0][:, None] for j0 in range(3)] for i0 in range(3)]
+        t_s = [pose[:, 9 + i0][:, None] for i0 in range(3)]
+        _, _, _, _, c2, _ = _evaluate_plane(
+            r_s, t_s, px, py, pz, obs_u, obs_v, active, rcb, tcb, inv_s2,
+            width, height, huber_delta,
+        )
+        outlier = active * (1.0 - marg) * (c2 > chi2_threshold).astype(f32)
+        inl = active * (1.0 - outlier)
+        n_inl = jnp.sum(inl)
+        final_cost = jnp.sum(inl * c2) / jnp.maximum(n_inl, 1.0)
+        return (pose, outlier, final_cost)
+
+    pose_fin, outlier, final_cost = jax.lax.fori_loop(
+        0,
+        rounds,
+        round_body,
+        (pose0, jnp.zeros((1, m), f32), jnp.asarray(0.0, f32)),
+    )
+    inl = active * (1.0 - outlier)
+    pose_out_ref[:, :] = pose_fin
+    flags_out_ref[0:1, :] = outlier
+    flags_out_ref[1:, :] = jnp.zeros((7, m), f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out_ref[:, :] = (
+        jnp.where(lane == 0, final_cost, 0.0)
+        + jnp.where(lane == 1, jnp.sum(inl), 0.0)
+        + jnp.where(lane == 2, jnp.sum(outlier), 0.0)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "huber_delta", "chi2_threshold", "rounds",
+        "max_iterations", "pixel_noise_std", "interpret",
+    ),
+)
+def pnp_solve(
+    r_wb, t_wb, points, obs_uv, active, marginalized, lam, r_cb, t_cb,
+    width: int,
+    height: int,
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    rounds: int = 4,
+    max_iterations: int = 50,
+    interpret: bool = False,
+):
+    """Whole PnP (4 chi2 rounds x LM solve) in ONE kernel dispatch.
+    Returns (r_new, t_new, outlier [M] bool, final_cost, n_inl, n_out)."""
+    m = points.shape[0]
+    assert m % 128 == 0, "landmark capacity must be lane-aligned"
+    f32 = jnp.float32
+    pose = jnp.concatenate(
+        [r_wb.reshape(1, 9), t_wb.reshape(1, 3)], axis=1
+    ).astype(f32)
+    pts_t = jnp.zeros((8, m), f32).at[:3, :].set(points.T.astype(f32))
+    inv_s2 = 1.0 / (pixel_noise_std * pixel_noise_std)
+    scal = jnp.concatenate(
+        [
+            jnp.asarray(lam, f32).reshape(1),
+            r_cb.astype(f32).reshape(9),
+            t_cb.astype(f32).reshape(3),
+            jnp.asarray(inv_s2, f32).reshape(1),
+        ]
+    ).reshape(1, 14)
+    kernel = functools.partial(
+        _pnp_solve_kernel,
+        m=m, width=float(width), height=float(height),
+        huber_delta=float(huber_delta), chi2_threshold=float(chi2_threshold),
+        rounds=rounds, max_iterations=max_iterations,
+    )
+    pose_out, flags_out, scal_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 12), f32),
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        pose,
+        pts_t,
+        obs_uv[:, 0].reshape(1, m).astype(f32),
+        obs_uv[:, 1].reshape(1, m).astype(f32),
+        active.reshape(1, m).astype(f32),
+        marginalized.reshape(1, m).astype(f32),
+        scal,
+    )
+    r_new = pose_out[0, :9].reshape(3, 3)
+    t_new = pose_out[0, 9:]
+    outlier = flags_out[0, :] > 0.5
+    return (
+        r_new,
+        t_new,
+        outlier,
+        scal_out[0, 0],
+        scal_out[0, 1].astype(jnp.int32),
+        scal_out[0, 2].astype(jnp.int32),
     )

@@ -92,7 +92,7 @@ def solve_pnp(
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "max_iterations", "min_inliers",
-        "pixel_noise_std", "huber_delta", "interpret",
+        "pixel_noise_std", "huber_delta", "chi2_threshold", "interpret",
     ),
 )
 def solve_pnp_pallas(
@@ -118,66 +118,21 @@ def solve_pnp_pallas(
     (solver/ba_pallas.py, diag_damping matches the PnP LM flavor)."""
     from . import ba_pallas
 
-    inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
     n = points_w.shape[0]
     enough = jnp.sum(active) >= 6  # Optimizer.cpp:127
-    fixed_pose = jnp.zeros((1,), bool)
-    fixed_point = jnp.ones((n,), bool)
-    obs1 = obs_uv[None]
 
-    outlier = jnp.zeros((n,), bool)
-    r_fin, t_fin = r_wb_init, t_wb_init
-    final_cost = jnp.asarray(0.0, jnp.float32)
-
-    for _ in range(rounds):
-        use = active & ~outlier
-        obs_w = use.astype(jnp.float32)[None]
-
-        def lm_cond(carry):
-            *_, it, done = carry
-            return (it < max_iterations) & ~done
-
-        def lm_body(carry, obs_w=obs_w):
-            r, t, lam, it, done = carry
-            r_n, t_n, _, cur_cost, new_cost, step_sq = ba_pallas.ba_iteration(
-                r, t, points_w, obs1, obs_w, fixed_pose, fixed_point, lam,
-                r_cb, t_cb, width, height,
-                pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
-                diag_damping=True, interpret=interpret,
-            )
-            accept = new_cost < cur_cost
-            r = jnp.where(accept, r_n, r)
-            t = jnp.where(accept, t_n, t)
-            lam = jnp.where(
-                accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6)
-            )
-            done = (accept & ((step_sq < 1e-16) | ((cur_cost - new_cost) < 1e-6 * cur_cost))) | (
-                lam > 1e5
-            )
-            return (r, t, lam, it + 1, done)
-
-        r_sol1, t_sol1, _, _, _ = jax.lax.while_loop(
-            lm_cond,
-            lm_body,
-            (r_wb_init[None], t_wb_init[None], jnp.asarray(1e-4, jnp.float32),
-             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    # All 4 chi2 rounds x LM solves run inside ONE kernel dispatch
+    # (ba_pallas._pnp_solve_kernel); per-dispatch host-sync costs on the
+    # tunneled TPU would otherwise multiply by rounds x LM iterations.
+    r_fin, t_fin, outlier, final_cost, num_inliers, num_outliers = (
+        ba_pallas.pnp_solve(
+            r_wb_init, t_wb_init, points_w, obs_uv, active, marginalized,
+            jnp.asarray(1e-4, jnp.float32), r_cb, t_cb, width, height,
+            pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+            chi2_threshold=chi2_threshold, rounds=rounds,
+            max_iterations=max_iterations, interpret=interpret,
         )
-        r_sol, t_sol = r_sol1[0], t_sol1[0]
-
-        # chi2 classification at the solution (raw wrapped residuals)
-        _, _, _, c2, _ = _evaluate(
-            r_sol, t_sol, points_w, obs_uv, active, r_cb, t_cb, width, height,
-            inv_sigma2, huber_delta,
-        )
-        outlier = active & ~marginalized & (c2 > chi2_threshold)
-        r_fin, t_fin = r_sol, t_sol
-        inlier_mask = active & ~outlier
-        n_inl = jnp.sum(inlier_mask)
-        final_cost = jnp.sum(jnp.where(inlier_mask, c2, 0.0)) / jnp.maximum(n_inl, 1)
-
-    inlier_mask = active & ~outlier
-    num_inliers = jnp.sum(inlier_mask).astype(jnp.int32)
-    num_outliers = jnp.sum(outlier).astype(jnp.int32)
+    )
     success = enough & (num_inliers >= min_inliers)
     r_out = jnp.where(success, r_fin, r_wb_init)
     t_out = jnp.where(success, t_fin, t_wb_init)
