@@ -16,16 +16,24 @@ import time
 import numpy as np
 
 
-def time_fn(fn, args, warmup=2, iters=10):
+def time_fn(fn, argsets, warmup=2, iters=12):
+    """Pipelined steady-state latency, cycling DISTINCT input sets.
+
+    The tunneled-TPU relay can return cached results for repeated
+    executions on identical buffers, so every iteration must see fresh
+    data; per-call block_until_ready would measure the relay's ~26 ms
+    round trip instead of device time, so sync once at the end (this is
+    also the streaming-VIO operating mode: frames are pipelined)."""
     import jax
 
+    if not isinstance(argsets, list):
+        argsets = [argsets]
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(*argsets[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*argsets[i % len(argsets)]) for i in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -36,18 +44,22 @@ def bench_window_ba():
     from vio360_tpu.solver import ba
 
     k, m, w, h = 10, 2048, 960, 480
-    rng = np.random.default_rng(0)
-    pts = jnp.asarray(rng.uniform(-6, 6, (m, 3)) + np.array([0, 0, 8.0]), jnp.float32)
-    rs = jnp.broadcast_to(jnp.eye(3), (k, 3, 3)).copy()
-    ts = jnp.asarray(np.cumsum(rng.uniform(-0.05, 0.08, (k, 3)), 0), jnp.float32)
-
     from vio360_tpu.geometry import camera as cam
 
-    p_c = pts[None] - ts[:, None]
-    uv = cam.project(p_c, w, h)
-    uv = uv + jnp.asarray(rng.standard_normal(uv.shape) * 0.5, jnp.float32)
-    # realistic density: ~60% of landmark-frame pairs observed
-    mask = jnp.asarray(rng.random((k, m)) < 0.6)
+    argsets = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        pts = jnp.asarray(
+            rng.uniform(-6, 6, (m, 3)) + np.array([0, 0, 8.0]), jnp.float32
+        )
+        rs = jnp.broadcast_to(jnp.eye(3), (k, 3, 3)).copy()
+        ts = jnp.asarray(np.cumsum(rng.uniform(-0.05, 0.08, (k, 3)), 0), jnp.float32)
+        p_c = pts[None] - ts[:, None]
+        uv = cam.project(p_c, w, h)
+        uv = uv + jnp.asarray(rng.standard_normal(uv.shape) * 0.5, jnp.float32)
+        # realistic density: ~60% of landmark-frame pairs observed
+        mask = jnp.asarray(rng.random((k, m)) < 0.6)
+        argsets.append((rs, ts, pts, uv, mask))
     fixed_pose = jnp.zeros(k, bool).at[0].set(True)
     fixed_point = jnp.zeros(m, bool)
     marg = jnp.zeros(m, bool)
@@ -60,22 +72,34 @@ def bench_window_ba():
         return res.r_wb, res.t_wb, res.points, res.final_cost, res.num_iterations
 
     fn = jax.jit(run)
-    dt = time_fn(fn, (rs, ts, pts, uv, mask))
+    dt = time_fn(fn, argsets)
     # iterations actually executed (LM may converge early; report per-solve
     # latency as the per-frame number — one local BA per keyframe)
-    out = fn(rs, ts, pts, uv, mask)
+    out = fn(*argsets[0])
     iters = int(out[4])
     return dt * 1e3, iters
 
 
 def bench_frame_step():
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
+    # Distinct image buffers per iteration (horizontal rolls of the ERP
+    # frame are valid new frames) so the relay can't serve cached runs.
+    img_prev, img_next = np.asarray(args[0]), np.asarray(args[1])
+    argsets = [
+        (
+            jax.device_put(jnp.asarray(np.roll(img_prev, 3 * i, axis=1))),
+            jax.device_put(jnp.asarray(np.roll(img_next, 3 * i, axis=1))),
+            *args[2:],
+        )
+        for i in range(6)
+    ]
     jfn = jax.jit(fn)
-    dt = time_fn(jfn, args, warmup=2, iters=10)
+    dt = time_fn(jfn, argsets, warmup=2, iters=12)
     return dt * 1e3
 
 

@@ -76,9 +76,13 @@ def _gather_int_patches(
     h, wp = img_pad.shape
     nb = wp // 128
     rw = _row_selectors(v0, g, h)
+    # All intermediates bf16: every stage is a one-hot SELECTION of
+    # values already bf16-quantized at the image cast, so bf16 storage
+    # is lossless here and halves the dominant HBM traffic (the [N, g,
+    # WP] rows array is ~100 MB at level 0 in f32).
     rows = jnp.einsum(
         "fgh,hw->fgw", rw, img_pad.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )  # [N, g, WP]
     n = rows.shape[0]
     rows = rows.reshape(n, g, nb, 128)
@@ -86,8 +90,14 @@ def _gather_int_patches(
     iob = jnp.arange(nb)[None, :]
     win = jnp.concatenate(
         [
-            jnp.einsum("fgbc,fb->fgc", rows, (iob == b[:, None]).astype(jnp.float32)),
-            jnp.einsum("fgbc,fb->fgc", rows, (iob == b[:, None] + 1).astype(jnp.float32)),
+            jnp.einsum(
+                "fgbc,fb->fgc", rows, (iob == b[:, None]).astype(jnp.bfloat16),
+                preferred_element_type=jnp.bfloat16,
+            ),
+            jnp.einsum(
+                "fgbc,fb->fgc", rows, (iob == b[:, None] + 1).astype(jnp.bfloat16),
+                preferred_element_type=jnp.bfloat16,
+            ),
         ],
         axis=-1,
     )  # [N, g, 256]
@@ -97,7 +107,7 @@ def _gather_int_patches(
         jnp.bfloat16
     )  # [N, g, 256]
     return jnp.einsum(
-        "fgc,frc->fgr", win.astype(jnp.bfloat16), cw,
+        "fgc,frc->fgr", win, cw,
         preferred_element_type=jnp.float32,
     )  # [N, g, g]
 
@@ -242,15 +252,20 @@ def _pyr_device(h: int, w: int, num_levels: int):
     for lvl in range(num_levels + 1):
         # Right operator = (wrap-pad to whole 128 blocks) o (pyramid):
         # the gather's block-select stage needs 128-aligned width with
-        # seam wraparound baked in.
+        # seam wraparound baked in. Level 0's operators are identities
+        # (pure wrap-pad); mark with None and pad by concatenation —
+        # two 480x960-scale identity matmuls per image are pure waste.
         wp = pad_blocks(w_k)
-        u_pad = (pyr.wrap_pad_matrix(wp, w_k).astype(np.float64) @ u_k).T
-        mats[lvl] = (
-            jax.device_put(np.ascontiguousarray(v_k, np.float32)),
-            jax.device_put(np.ascontiguousarray(u_pad, np.float32)),
-            h_k,
-            w_k,
-        )
+        if lvl == 0:
+            mats[lvl] = (None, None, h_k, w_k)
+        else:
+            u_pad = (pyr.wrap_pad_matrix(wp, w_k).astype(np.float64) @ u_k).T
+            mats[lvl] = (
+                jax.device_put(np.ascontiguousarray(v_k, np.float32)),
+                jax.device_put(np.ascontiguousarray(u_pad, np.float32)),
+                h_k,
+                w_k,
+            )
         if lvl < num_levels:
             v_k = pyr.blur_decimate_matrix(h_k, wrap=False).astype(np.float64) @ v_k
             u_k = pyr.blur_decimate_matrix(w_k, wrap=True).astype(np.float64) @ u_k
@@ -313,8 +328,17 @@ def _track_impl(
     w = img_prev.shape[1]
     hi = jax.lax.Precision.HIGHEST
 
+    def wrap_pad(img):
+        wp = pad_blocks(w)
+        reps = [img] + [
+            img[:, : min(w, wp - w * k)] for k in range(1, -(-wp // w))
+        ]
+        return jnp.concatenate(reps, axis=1)[:, :wp]
+
     def level_imgs(lvl):
         v_m, u_m = level_mats[lvl]
+        if v_m is None:  # level 0: pure horizontal wrap-pad
+            return wrap_pad(img_prev), wrap_pad(img_next)
         li = jnp.matmul(jnp.matmul(v_m, img_prev, precision=hi), u_m, precision=hi)
         lj = jnp.matmul(jnp.matmul(v_m, img_next, precision=hi), u_m, precision=hi)
         return li, lj
