@@ -1,0 +1,99 @@
+"""Multi-sequence serving: the per-frame hot path sharded over a mesh.
+
+Production deployment of a VIO engine on TPU pods serves MANY camera
+streams at once; a single 10-keyframe window fits comfortably on one
+chip (SURVEY.md §7 "hard parts" #5: don't shard a problem that fits on
+one chip — scale throughput). This module batches the full per-frame
+hot path — pyramidal LK tracking + PnP pose solve, the same program as
+``__graft_entry__.entry()`` — over B independent sequences and shards
+the batch over the mesh's ``seq`` axis with ``shard_map``. There is no
+cross-sequence math, so no collectives are emitted: scaling efficiency
+is bounded only by per-chip occupancy, and one compiled program serves
+any pod slice.
+
+The reference processes exactly one stream in one thread
+(app/main.cpp:178-223); this axis is new design work, like
+``parallel/dist_ba`` (SURVEY.md §2 "Parallelism: none").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # JAX >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import lk
+from ..solver import pnp
+
+
+def make_seq_mesh(devices=None) -> Mesh:
+    """1-D ``seq`` mesh over all available devices (pure data parallel)."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, axis_names=("seq",))
+
+
+def frame_step_single(
+    img_prev, img_next, uv, valid, points, marg, r_wb, t_wb, r_cb, t_cb,
+    *, width: int, height: int, lk_backend: str = "auto",
+    pnp_backend: str = "xla",
+):
+    """One sequence's frame step: LK track then PnP. Unbatched reference
+    semantics for the sharded path (and the single-chip hot path).
+
+    ``pnp_backend`` defaults to the XLA formulation: it vmaps into one
+    fused batched program, which is the right shape for serving many
+    streams (the Pallas megakernel PnP targets single-stream latency).
+    """
+    uv_new, status, err = lk.track(
+        img_prev, img_next, uv, valid, backend=lk_backend
+    )
+    res = pnp.solve_pnp(
+        r_wb, t_wb, points, uv_new, status, marg, r_cb, t_cb,
+        width, height, backend=pnp_backend,
+    )
+    return res.r_wb, res.t_wb, res.success, res.num_inliers, uv_new, status, err
+
+
+def make_multi_seq_frame_step(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    *,
+    axis: str = "seq",
+    lk_backend: str = "auto",
+    pnp_backend: str = "xla",
+):
+    """Build a jitted frame step over [B, ...] batches sharded on ``axis``.
+
+    Global input shapes: images [B,H,W], uv [B,N,2], valid [B,N],
+    points [B,N,3], marg [B,N], r_wb [B,3,3], t_wb [B,3]; extrinsics
+    r_cb [3,3], t_cb [3] replicated. B must be divisible by the mesh's
+    ``axis`` size. Returns (r_wb, t_wb, success, num_inliers, uv_new,
+    status, err), each sharded like its inputs.
+    """
+    one = functools.partial(
+        frame_step_single,
+        width=width,
+        height=height,
+        lk_backend=lk_backend,
+        pnp_backend=pnp_backend,
+    )
+
+    def local_fn(img_prev, img_next, uv, valid, points, marg, r_wb, t_wb, r_cb, t_cb):
+        return jax.vmap(
+            lambda a, b, c, d, e, f, g, h: one(a, b, c, d, e, f, g, h, r_cb, t_cb)
+        )(img_prev, img_next, uv, valid, points, marg, r_wb, t_wb)
+
+    b_spec = P(axis)
+    in_specs = (b_spec,) * 8 + (P(), P())
+    out_specs = (b_spec,) * 7
+    return jax.jit(
+        shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )

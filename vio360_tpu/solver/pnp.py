@@ -219,11 +219,16 @@ def solve_pnp_xla(
             r_wb_init, t_wb_init, points_w, obs_uv, use, r_cb, t_cb, width, height,
             inv_sigma2, huber_delta,
         )
+        # lam/done inherit init_cost's varying axes: under shard_map
+        # (parallel/multi_seq.py) the carry must not mix invarying
+        # literals with values that become axis-varying in the body.
+        lam0 = jnp.asarray(1e-4, jnp.float32) + 0.0 * init_cost
+        done0 = init_cost < 0.0  # always False; robust cost >= 0
         r_sol, t_sol, _, _, _, _ = jax.lax.while_loop(
             lm_cond,
             lm_body,
-            (r_wb_init, t_wb_init, jnp.asarray(1e-4, jnp.float32), init_cost,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+            (r_wb_init, t_wb_init, lam0, init_cost,
+             jnp.asarray(0, jnp.int32), done0),
         )
 
         # chi2 classification at the solution (raw wrapped residuals)
