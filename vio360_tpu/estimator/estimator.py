@@ -119,6 +119,12 @@ class Estimator:
         self.r_prev = jnp.eye(3)
         self.t_prev = jnp.zeros(3)
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        # BA-refined keyframe poses by frame id: export_trajectory
+        # overrides the at-capture odometry estimates with these — the
+        # bootstrap window's identity poses and every keyframe's pre-BA
+        # pose get backfilled by their latest optimized values (new vs
+        # the reference, which never exports a trajectory; SURVEY.md §5).
+        self.kf_pose_log: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
         # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
         self.imu_initialized = False
@@ -189,6 +195,20 @@ class Estimator:
             (timestamp, np.asarray(self.r_cur), np.asarray(self.t_cur))
         )
 
+    def _log_window_poses(self):
+        """Snapshot the window's current (BA-refined) keyframe poses into
+        the export log. One batched device->host transfer per call."""
+        n = int(self.win.n_kf)
+        if n == 0:
+            return
+        kf_id, kf_r, kf_t = jax.device_get(
+            (self.win.kf_id[:n], self.win.kf_r[:n], self.win.kf_t[:n])
+        )
+        for i in range(n):
+            fid = int(kf_id[i])
+            if fid >= 0:
+                self.kf_pose_log[fid] = (np.asarray(kf_r[i]), np.asarray(kf_t[i]))
+
     def _transform_history(self, r_wg: jax.Array, scale: jax.Array):
         """Re-express the recorded trajectory + current pose in the new
         (gravity-aligned, rescaled) world frame so the export stays in
@@ -201,6 +221,10 @@ class Estimator:
             (t, r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
             for (t, r, p) in self.trajectory
         ]
+        self.kf_pose_log = {
+            fid: (r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
+            for fid, (r, p) in self.kf_pose_log.items()
+        }
         r_gw_j = jnp.asarray(r_gw)
         t_anchor_j = jnp.asarray(t_anchor, jnp.float32)
         for attr in ("r_cur", "r_prev"):
@@ -318,6 +342,7 @@ class Estimator:
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.initialized = True
         self.last_kf_index = i_last
+        self._log_window_poses()
         log.info(
             "Init success: %d landmarks, BA cost %.2f -> %.2f",
             int(res.num_valid_points), float(ba_res.initial_cost), float(ba_res.final_cost),
@@ -391,6 +416,7 @@ class Estimator:
         self.t_cur = self.win.kf_t[i_last]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.imu_since_last_kf = []
+        self._log_window_poses()
 
     def _stacked_preints(self):
         """Pad host preintegration list to the fixed max_kf-1 pair count."""
@@ -447,6 +473,7 @@ class Estimator:
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.vel_cur = self.win.kf_vel[i_last]
         self.imu_initialized = True
+        self._log_window_poses()
         log.info(
             "IMU init: scale=%.4f g=(%.2f,%.2f,%.2f) bg=%s",
             float(res.scale), *[float(x) for x in res.gravity_w],
@@ -590,6 +617,7 @@ class Estimator:
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
+        self._log_window_poses()
         diag.update(
             n_new_landmarks=int(n_new),
             ba_cost=ba_cost,
@@ -682,6 +710,9 @@ class Estimator:
             {"t": float(t), "r": r, "p": p} for (t, r, p) in self.trajectory
         ]
         state["imu_since_last_kf"] = [np.asarray(x) for x in self.imu_since_last_kf]
+        state["kf_pose_log"] = {
+            str(fid): (r, p) for fid, (r, p) in self.kf_pose_log.items()
+        }
         return state
 
     def restore_state(self, state: dict) -> None:
@@ -696,6 +727,10 @@ class Estimator:
             (e["t"], np.asarray(e["r"]), np.asarray(e["p"])) for e in state["trajectory"]
         ]
         self.imu_since_last_kf = [np.asarray(x) for x in state["imu_since_last_kf"]]
+        self.kf_pose_log = {
+            int(fid): (np.asarray(r), np.asarray(p))
+            for fid, (r, p) in state.get("kf_pose_log", {}).items()
+        }
 
     def save(self, path: str) -> None:
         from ..io import checkpoint as ckpt
@@ -713,7 +748,14 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def export_trajectory(self):
+        """Trajectory with keyframe entries overridden by their latest
+        BA-refined poses (trajectory index == frame id: every processed
+        frame records exactly one entry)."""
         ts = np.asarray([t for t, _, _ in self.trajectory])
         rs = np.stack([r for _, r, _ in self.trajectory]) if self.trajectory else np.zeros((0, 3, 3))
         ps = np.stack([p for _, _, p in self.trajectory]) if self.trajectory else np.zeros((0, 3))
+        for fid, (r, p) in self.kf_pose_log.items():
+            if 0 <= fid < len(ts):
+                rs[fid] = r
+                ps[fid] = p
         return ts, rs, ps
