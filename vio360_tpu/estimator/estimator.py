@@ -125,6 +125,13 @@ class Estimator:
         # pose get backfilled by their latest optimized values (new vs
         # the reference, which never exports a trajectory; SURVEY.md §5).
         self.kf_pose_log: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # Per-frame (ref_kf_frame_id, rel_r, rel_p) anchors: non-keyframe
+        # poses are derived at export as T_kf_refined * rel, the
+        # reference's Frame reference-keyframe mechanism
+        # (Frame.cpp:44-72, 278-301) recast as an export-time compose.
+        self.traj_rel: list[tuple[int, np.ndarray, np.ndarray] | None] = []
+        self.last_kf_fid = -1
+        self.last_kf_capture: tuple[np.ndarray, np.ndarray] | None = None
 
         # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
         self.imu_initialized = False
@@ -191,9 +198,13 @@ class Estimator:
             )
 
     def _record(self, timestamp: float):
-        self.trajectory.append(
-            (timestamp, np.asarray(self.r_cur), np.asarray(self.t_cur))
-        )
+        r, p = np.asarray(self.r_cur), np.asarray(self.t_cur)
+        self.trajectory.append((timestamp, r, p))
+        if self.last_kf_capture is not None:
+            kr, kp = self.last_kf_capture
+            self.traj_rel.append((self.last_kf_fid, kr.T @ r, kr.T @ (p - kp)))
+        else:
+            self.traj_rel.append(None)
 
     def _log_window_poses(self):
         """Snapshot the window's current (BA-refined) keyframe poses into
@@ -225,6 +236,14 @@ class Estimator:
             fid: (r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
             for fid, (r, p) in self.kf_pose_log.items()
         }
+        # Relative anchors: rotation part is invariant under a global
+        # similarity; the translation part scales by s.
+        self.traj_rel = [
+            None if e is None else (e[0], e[1], e[2] * s) for e in self.traj_rel
+        ]
+        if self.last_kf_capture is not None:
+            kr, kp = self.last_kf_capture
+            self.last_kf_capture = (r_gw @ kr, t_anchor + (r_gw @ kp - t_anchor) * s)
         r_gw_j = jnp.asarray(r_gw)
         t_anchor_j = jnp.asarray(t_anchor, jnp.float32)
         for attr in ("r_cur", "r_prev"):
@@ -342,6 +361,8 @@ class Estimator:
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.initialized = True
         self.last_kf_index = i_last
+        self.last_kf_fid = int(last["frame_id"])
+        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
         self._log_window_poses()
         log.info(
             "Init success: %d landmarks, BA cost %.2f -> %.2f",
@@ -416,6 +437,8 @@ class Estimator:
         self.t_cur = self.win.kf_t[i_last]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.imu_since_last_kf = []
+        self.last_kf_fid = int(snaps[-1]["frame_id"])
+        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
         self._log_window_poses()
 
     def _stacked_preints(self):
@@ -473,6 +496,8 @@ class Estimator:
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.vel_cur = self.win.kf_vel[i_last]
         self.imu_initialized = True
+        if self.last_kf_capture is not None:
+            self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
         self._log_window_poses()
         log.info(
             "IMU init: scale=%.4f g=(%.2f,%.2f,%.2f) bg=%s",
@@ -617,6 +642,8 @@ class Estimator:
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
+        self.last_kf_fid = self.frame_id
+        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
         self._log_window_poses()
         diag.update(
             n_new_landmarks=int(n_new),
@@ -713,6 +740,12 @@ class Estimator:
         state["kf_pose_log"] = {
             str(fid): (r, p) for fid, (r, p) in self.kf_pose_log.items()
         }
+        state["traj_rel"] = [
+            {} if e is None else {"kf": e[0], "r": e[1], "p": e[2]}
+            for e in self.traj_rel
+        ]
+        state["last_kf_fid"] = self.last_kf_fid
+        state["last_kf_capture"] = self.last_kf_capture
         return state
 
     def restore_state(self, state: dict) -> None:
@@ -731,6 +764,18 @@ class Estimator:
             int(fid): (np.asarray(r), np.asarray(p))
             for fid, (r, p) in state.get("kf_pose_log", {}).items()
         }
+        self.traj_rel = [
+            None if not e else (int(e["kf"]), np.asarray(e["r"]), np.asarray(e["p"]))
+            for e in state.get("traj_rel", [])
+        ]
+        # keep index-parallel with trajectory (older checkpoints)
+        self.traj_rel += [None] * (len(self.trajectory) - len(self.traj_rel))
+        self.last_kf_fid = int(state.get("last_kf_fid", -1))
+        cap_kf = state.get("last_kf_capture")
+        self.last_kf_capture = (
+            None if cap_kf is None
+            else (np.asarray(cap_kf[0]), np.asarray(cap_kf[1]))
+        )
 
     def save(self, path: str) -> None:
         from ..io import checkpoint as ckpt
@@ -754,6 +799,19 @@ class Estimator:
         ts = np.asarray([t for t, _, _ in self.trajectory])
         rs = np.stack([r for _, r, _ in self.trajectory]) if self.trajectory else np.zeros((0, 3, 3))
         ps = np.stack([p for _, _, p in self.trajectory]) if self.trajectory else np.zeros((0, 3))
+        # Non-keyframes: re-derive from their reference keyframe's
+        # refined pose x the captured relative transform (the
+        # reference's Frame::GetTwb mechanism, Frame.cpp:44-72).
+        for i, rel in enumerate(self.traj_rel):
+            if rel is None:
+                continue
+            kf_fid, rel_r, rel_p = rel
+            refined = self.kf_pose_log.get(kf_fid)
+            if refined is not None:
+                kr, kp = refined
+                rs[i] = kr @ rel_r
+                ps[i] = kp + kr @ rel_p
+        # Keyframes: their refined pose directly (rel would be identity).
         for fid, (r, p) in self.kf_pose_log.items():
             if 0 <= fid < len(ts):
                 rs[fid] = r
