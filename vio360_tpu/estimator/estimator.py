@@ -85,6 +85,18 @@ def _pnp_inputs(win: window.WindowState, ids, valid, uv, width, height, margin):
 
 
 @jax.jit
+def _kill_bad_tracks(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad):
+    """Invalidate tracker slots whose landmark BA just marked bad
+    (Optimizer.cpp:455-478 SetBad + the feature's IsValid going stale):
+    the corrupted track must not re-seed a landmark next keyframe."""
+    cap = track.uv.shape[0]
+    dest = jnp.where(new_bad, jnp.clip(lm_slot, 0, cap - 1), cap)
+    bad_id = jnp.full((cap,), -2, jnp.int32).at[dest].set(lm_feat_id, mode="drop")
+    kill = track.ids == bad_id  # only if the slot still holds that feature
+    return dataclasses.replace(track, valid=track.valid & ~kill)
+
+
+@jax.jit
 def _stack_preints(pres: list):
     """One jitted dispatch for the [n_pairs]-stacking (a Python-level
     tree_map of jnp.stack issues ~117 eager ops — each a host->device
@@ -545,6 +557,15 @@ class Estimator:
                 min_inliers=cfg.window.pnp_min_inliers,
             )
             pnp_ok = bool(res.success)
+        if pnp_ok:
+            # Outlier-latch feedback: chi2 outlier features are marked
+            # invalid in the tracker (Optimizer.cpp:253-267 SetValid(false)),
+            # so they stop spending feature budget and cannot seed landmarks
+            # (Estimator.cpp:1152-1156 skips !IsValid() in triangulation).
+            # res.outlier already excludes marginalized anchors.
+            self.track = dataclasses.replace(
+                self.track, valid=self.track.valid & ~res.outlier
+            )
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = res.r_wb, res.t_wb
         self.vel_cur = v_pred
@@ -624,7 +645,7 @@ class Estimator:
             new_bg, new_ba = vres.bg, vres.ba
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
             self.bg, self.ba = new_bg, new_ba
-            ba_cost, ba_inl = float(vres.final_cost), int(0)
+            ba_cost, ba_inl = float(vres.final_cost), int(vres.num_inliers)
             self._refine_scale_gravity(diag)
             i_last = int(self.win.n_kf) - 1
             self.vel_cur = self.win.kf_vel[i_last]
@@ -635,9 +656,17 @@ class Estimator:
                     cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
                 )
             ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
+        # Feed the BA bad-marking back into track validity before
+        # triangulating, so a killed landmark's corrupted track can't
+        # immediately re-seed (Optimizer.cpp:455-478 + Estimator.cpp:1152-1156).
+        new_bad = vres.new_bad if self.imu_initialized else ba_res.new_bad
+        self.track = _kill_bad_tracks(
+            self.track, self.win.lm_slot, self.win.lm_feat_id, new_bad
+        )
         with self._stage("triangulation"):
             self.win, n_new = window.triangulate_new_landmarks(
-                self.win, self.t_bc, cfg.camera.width, cfg.camera.height
+                self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
+                live_valid=self.track.valid,
             )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]

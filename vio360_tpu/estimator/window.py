@@ -217,11 +217,21 @@ def add_landmarks(
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def triangulate_new_landmarks(
-    win: WindowState, t_bc: jax.Array, width: int, height: int
+    win: WindowState,
+    t_bc: jax.Array,
+    width: int,
+    height: int,
+    live_valid: jax.Array | None = None,  # [C] tracker validity by slot
 ) -> tuple[WindowState, jax.Array]:
     """DLT-triangulate features shared by the last two keyframes that
     have no landmark yet (Estimator.cpp:1082-1318; every finite
     triangulation is accepted, matching the reference's ungated loop).
+
+    ``live_valid`` is the tracker's CURRENT per-slot validity: features
+    invalidated by the PnP/BA outlier latches are skipped, matching the
+    reference's ``!feature->IsValid()`` guard (Estimator.cpp:1152-1156)
+    — without it a landmark killed as bad would be instantly re-seeded
+    from the same corrupted track.
 
     Returns (window, number of new landmarks).
     """
@@ -239,6 +249,8 @@ def triangulate_new_landmarks(
     # slots that already have a landmark
     has_lm = slot_to_landmark(win, ids2) >= 0
     cand = shared & ~has_lm & ok_pair
+    if live_valid is not None:
+        cand &= live_valid
 
     # camera poses: T_wc = T_wb T_BC; T_cw = inv
     r_bc, p_bc = t_bc[:3, :3], t_bc[:3, 3]

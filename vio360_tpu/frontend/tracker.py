@@ -143,8 +143,10 @@ def track_frame(
     tracked = state.valid & status
     n_tracked = jnp.sum(tracked)
 
-    # 2. polar / boundary rejection (FeatureTracker.cpp:118-126)
+    # 2. polar / boundary rejection (FeatureTracker.cpp:118-126: tracked
+    # points are culled both by IsInPolarRegion and IsNearBoundary)
     good_region = ~cam.is_in_polar_region(uv_new, h, c.polar_exclusion_ratio)
+    good_region &= ~cam.is_near_boundary(uv_new, w, h, c.boundary_margin)
     tracked &= good_region
 
     # 3. rotation-only RANSAC on bearings

@@ -57,6 +57,7 @@ class VibaResult:
     num_iterations: jax.Array
     outlier_obs: jax.Array  # [K,M]
     new_bad: jax.Array  # [M]
+    num_inliers: jax.Array  # [] i32 chi2-inlier observations
 
 
 def _inertial_residuals(
@@ -278,4 +279,5 @@ def run_viba(
         num_iterations=iters,
         outlier_obs=outlier_obs,
         new_bad=new_bad,
+        num_inliers=jnp.sum(inlier_obs).astype(jnp.int32),
     )
