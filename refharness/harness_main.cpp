@@ -53,9 +53,10 @@ static cv::Mat LoadImageAny(const std::string& path) {
         }
         std::string header(header_len, '\0');
         f.read(header.data(), header_len);
-        if (header.find("'|u1'") == std::string::npos &&
-            header.find("'uint8'") == std::string::npos)
-            return {};
+        bool is_u8 = header.find("'|u1'") != std::string::npos ||
+                     header.find("'uint8'") != std::string::npos;
+        bool is_f32 = header.find("'<f4'") != std::string::npos;
+        if (!is_u8 && !is_f32) return {};
         auto sp = header.find("'shape':");
         auto lp = header.find('(', sp);
         auto rp = header.find(')', lp);
@@ -64,9 +65,20 @@ static cv::Mat LoadImageAny(const std::string& path) {
         if (sscanf(shape.c_str(), "%d , %d", &rows, &cols) != 2 &&
             sscanf(shape.c_str(), "%d, %d", &rows, &cols) != 2)
             return {};
-        cv::Mat img(rows, cols, CV_8UC1);
-        f.read(reinterpret_cast<char*>(img.data), size_t(rows) * cols);
-        return f ? img : cv::Mat{};
+        if (is_u8) {
+            cv::Mat img(rows, cols, CV_8UC1);
+            f.read(reinterpret_cast<char*>(img.data), size_t(rows) * cols);
+            return f ? img : cv::Mat{};
+        }
+        // float32 in [0,1] (the synthetic generator's format) -> 8-bit gray
+        cv::Mat fimg(rows, cols, CV_32FC1);
+        f.read(reinterpret_cast<char*>(fimg.data), size_t(rows) * cols * 4);
+        if (!f) return {};
+        double mx;
+        cv::minMaxLoc(fimg, nullptr, &mx);
+        cv::Mat img;
+        fimg.convertTo(img, CV_8UC1, mx <= 1.5 ? 255.0 : 1.0);
+        return img;
     }
     return cv::imread(path, cv::IMREAD_GRAYSCALE);
 }

@@ -37,15 +37,23 @@ def main(argv=None) -> int:
         return 1
     a = metrics.ate(p_e[ok], p_g[idx[ok]], align=args.align)
     rpe_t, rpe_r = metrics.rpe(r_e[ok], p_e[ok], r_g[idx[ok]], p_g[idx[ok]])
+    # Metric-scale error is a first-class result for a VIO system: always
+    # report the se3 (no-scale) ATE and the sim3 alignment scale deviation
+    # alongside whatever alignment was requested.
+    a_se3 = metrics.ate(p_e[ok], p_g[idx[ok]], align="se3")
+    a_sim3 = metrics.ate(p_e[ok], p_g[idx[ok]], align="sim3")
     print(
         json.dumps(
             {
                 "n": a.n,
                 "ate_rmse": a.rmse,
+                "ate_rmse_se3": a_se3.rmse,
+                "ate_rmse_sim3": a_sim3.rmse,
+                "scale": a_sim3.scale,
+                "scale_error": abs(a_sim3.scale - 1.0),
                 "ate_mean": a.mean,
                 "ate_median": a.median,
                 "ate_max": a.max,
-                "scale": a.scale,
                 "rpe_trans_rmse": rpe_t,
                 "rpe_rot_rmse_deg": rpe_r,
                 "align": args.align,

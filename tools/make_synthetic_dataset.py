@@ -1,11 +1,26 @@
 """Generate a synthetic 360 dataset in the reference layout.
 
-Renders Gaussian-blob landmarks along a known trajectory into .npy ERP
-frames + cam_timestamps.txt + imu_data.csv + groundtruth.tum, so the
-full CLI pipeline (and ATE evaluation) can run without real data.
+Renders Gaussian-blob landmarks along a dynamically-rich analytic
+trajectory into .npy ERP frames + cam_timestamps.txt + imu_data.csv +
+groundtruth.tum, so the full CLI pipeline (and ATE evaluation), the
+reference harness (refharness/), and robustness tests can run without
+real data.
 
-Usage: python tools/make_synthetic_dataset.py OUT_DIR [--frames N]
-       [--width W] [--height H] [--points M] [--seed S]
+The trajectory is sinusoidal with closed-form velocity/acceleration
+(|a| ~ 4 m/s^2 at --accel-scale 1.0) and the IMU is derived from the
+analytic derivatives, so gravity direction and metric scale are well
+observable — a monocular-inertial system should recover scale within a
+few percent. (The r1 generator used a near-constant-velocity walk with
+zero-order-hold finite-difference IMU; scale was ~unobservable and the
+stock demo silently ran 4-5x off metric.)
+
+Noise injection (all default off) for robustness testing:
+  --pixel-noise    photometric Gaussian noise added to every frame
+  --imu-noise      multiplier on the config IMU noise densities
+  --bias-drift     gyro/accel bias random-walk per sqrt(s)
+  --outlier-points N   blobs that MOVE in the world (break rigidity)
+
+Usage: python tools/make_synthetic_dataset.py OUT_DIR [--frames N] ...
 """
 
 from __future__ import annotations
@@ -19,6 +34,37 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+G = 9.81
+
+
+def analytic_trajectory(ts: np.ndarray, accel_scale: float, yaw_rate: float):
+    """Closed-form position/velocity/acceleration + rotation.
+
+    p(t) amplitudes/frequencies chosen so peak |a| ~ 4 m/s^2 * accel_scale
+    with sub-metre excursions (landmarks sit 3-9 m away).
+    """
+    s = accel_scale
+    ax_, wx = 0.8 * s, 2.2
+    ay_, wy = 0.55 * s, 1.8
+    az_, wz = 0.3 * s, 1.5
+    p = np.stack(
+        [ax_ * np.sin(wx * ts), ay_ * (np.cos(wy * ts) - 1.0), az_ * np.sin(wz * ts)],
+        axis=-1,
+    )
+    v = np.stack(
+        [ax_ * wx * np.cos(wx * ts), -ay_ * wy * np.sin(wy * ts), az_ * wz * np.cos(wz * ts)],
+        axis=-1,
+    )
+    a = np.stack(
+        [-ax_ * wx**2 * np.sin(wx * ts), -ay_ * wy**2 * np.cos(wy * ts), -az_ * wz**2 * np.sin(wz * ts)],
+        axis=-1,
+    )
+    phi = np.stack(
+        [0.3 * np.sin(1.5 * ts), yaw_rate * ts, 0.2 * np.cos(1.2 * ts) - 0.2],
+        axis=-1,
+    )
+    return p, v, a, phi
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
@@ -28,59 +74,117 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--points", type=int, default=500)
     p.add_argument("--seed", type=int, default=11)
-    p.add_argument("--step", type=float, default=0.1)
-    p.add_argument("--rot-step", type=float, default=0.004)
     p.add_argument("--fps", type=float, default=10.0)
     p.add_argument("--imu-hz", type=float, default=200.0)
+    p.add_argument("--accel-scale", type=float, default=1.0,
+                   help="trajectory dynamics multiplier (peak |a| ~ 4 m/s^2 at 1.0)")
+    p.add_argument("--yaw-rate", type=float, default=0.25, help="rad/s")
+    p.add_argument("--tilt", type=float, nargs=2, default=(0.06, -0.04),
+                   help="gravity-direction tilt [theta_x, theta_y] (rad)")
+    p.add_argument("--pixel-noise", type=float, default=0.0,
+                   help="photometric Gaussian noise std (image range is [0,1])")
+    p.add_argument("--imu-noise", type=float, default=0.0,
+                   help="IMU white-noise multiplier (1.0 = config densities)")
+    p.add_argument("--bias-drift", type=float, default=0.0,
+                   help="bias random-walk multiplier (1.0 = config densities)")
+    p.add_argument("--outlier-points", type=int, default=0,
+                   help="number of landmarks that move in the world")
+    p.add_argument("--outlier-speed", type=float, default=0.5, help="m/s")
     args = p.parse_args(argv)
 
+    import jax
+    import jax.numpy as jnp
+
     import synthetic  # tests/synthetic.py
+    from vio360_tpu.geometry import lie
     from vio360_tpu.io import trajectory as tio
+    from vio360_tpu.solver import imu_init as imu_init_mod
 
+    rng = np.random.default_rng(args.seed)
     os.makedirs(os.path.join(args.out_dir, "images"), exist_ok=True)
-    pts = synthetic.make_point_world(args.seed, args.points, radius=(3.0, 10.0))
-    rs, ts = synthetic.make_trajectory(args.frames, step=args.step, rot_step=args.rot_step)
 
-    dt = 1.0 / args.fps
-    stamps = np.arange(args.frames) * dt
-    with open(os.path.join(args.out_dir, "cam_timestamps.txt"), "w") as f:
-        f.write("\n".join(f"{t:.6f}" for t in stamps) + "\n")
+    # world
+    pts = synthetic.make_point_world(args.seed, args.points, radius=(3.0, 9.0))
+    n_out = min(args.outlier_points, len(pts))
+    out_vel = np.zeros((len(pts), 3), np.float32)
+    if n_out:
+        d = rng.standard_normal((n_out, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        out_vel[:n_out] = d * args.outlier_speed
 
-    for i in range(args.frames):
-        img = synthetic.render_point_image(pts, rs[i], ts[i], args.width, args.height)
-        np.save(os.path.join(args.out_dir, "images", f"{i:06d}.npy"), np.asarray(img))
+    # timeline at IMU rate; camera frames are every imu_hz/fps-th sample
+    dt = 1.0 / args.imu_hz
+    per_frame = int(round(args.imu_hz / args.fps))
+    n_samples = (args.frames - 1) * per_frame + 1
+    ts = np.arange(n_samples) * dt
 
-    # Simple consistent IMU: finite-difference the trajectory (gravity in -Z
-    # world, body frame = camera frame). Adequate for pipeline plumbing.
-    imu_t = np.arange(0.0, stamps[-1] + 1e-9, 1.0 / args.imu_hz)
-    g_w = np.array([0.0, 0.0, -9.81])
-    rows = []
-    vel = np.gradient(ts, dt, axis=0)
-    acc_w = np.gradient(vel, dt, axis=0)
-    for t in imu_t:
-        i = min(int(t / dt), args.frames - 1)
-        r = rs[i]
-        omega = np.zeros(3)
-        if 0 < i < args.frames - 1:
-            dr = rs[i - 1].T @ rs[i + 1]
-            angle = np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1))
-            if angle > 1e-9:
-                ax = (
-                    np.array(
-                        [dr[2, 1] - dr[1, 2], dr[0, 2] - dr[2, 0], dr[1, 0] - dr[0, 1]]
-                    )
-                    / (2 * np.sin(angle))
-                )
-                omega = ax * angle / (2 * dt)
-        a_b = r.T @ (acc_w[i] - g_w)
-        rows.append([t, *a_b, *omega])
+    p_w, v_w, a_w, phi = analytic_trajectory(ts, args.accel_scale, args.yaw_rate)
+    r_wb = np.asarray(jax.vmap(lie.so3_exp)(jnp.asarray(phi, jnp.float32)))
+
+    r_wg = np.asarray(
+        imu_init_mod.gravity_dir_to_rotation(jnp.asarray(args.tilt, jnp.float32))
+    )
+    g_w = r_wg @ np.array([0.0, 0.0, -G])
+
+    # IMU rows: accel from the analytic derivative, gyro from the
+    # midpoint log of the rotation increments (exact to O(dt^2)).
+    rows = np.zeros((n_samples, 7), np.float64)
+    rows[:, 0] = ts
+    dr = np.einsum("tij,tik->tjk", r_wb[:-2], r_wb[2:])  # R_i^T R_{i+2}
+    omega_mid = np.asarray(
+        jax.vmap(lie.so3_log)(jnp.asarray(dr, jnp.float32))
+    ) / (2 * dt)
+    rows[1:-1, 4:7] = omega_mid
+    rows[0, 4:7] = omega_mid[0]
+    rows[-1, 4:7] = omega_mid[-1]
+    rows[:, 1:4] = np.einsum("tij,tj->ti", r_wb.transpose(0, 2, 1), a_w - g_w)
+
+    if args.imu_noise > 0:
+        # white noise: sigma_discrete = density * sqrt(rate)
+        sq = np.sqrt(args.imu_hz)
+        rows[:, 1:4] += rng.standard_normal((n_samples, 3)) * 0.01 * args.imu_noise * sq
+        rows[:, 4:7] += rng.standard_normal((n_samples, 3)) * 0.001 * args.imu_noise * sq
+    if args.bias_drift > 0:
+        bg = np.cumsum(
+            rng.standard_normal((n_samples, 3)) * 1e-4 * args.bias_drift * np.sqrt(dt), axis=0
+        )
+        ba = np.cumsum(
+            rng.standard_normal((n_samples, 3)) * 1e-3 * args.bias_drift * np.sqrt(dt), axis=0
+        )
+        rows[:, 4:7] += bg
+        rows[:, 1:4] += ba
+
     with open(os.path.join(args.out_dir, "imu_data.csv"), "w") as f:
         f.write("timestamp,ax,ay,az,gx,gy,gz\n")
         for row in rows:
             f.write(",".join(f"{v:.9f}" for v in row) + "\n")
 
-    tio.write_tum(os.path.join(args.out_dir, "groundtruth.tum"), stamps, rs, ts)
-    print(f"wrote {args.frames} frames to {args.out_dir}")
+    # camera frames
+    frame_idx = np.arange(args.frames) * per_frame
+    stamps = ts[frame_idx]
+    with open(os.path.join(args.out_dir, "cam_timestamps.txt"), "w") as f:
+        f.write("\n".join(f"{t:.6f}" for t in stamps) + "\n")
+
+    for k, fi in enumerate(frame_idx):
+        pts_t = pts + out_vel * ts[fi]
+        img = np.asarray(
+            synthetic.render_point_image(pts_t, r_wb[fi], p_w[fi], args.width, args.height)
+        )
+        if args.pixel_noise > 0:
+            img = np.clip(
+                img + rng.standard_normal(img.shape).astype(np.float32) * args.pixel_noise,
+                0.0, 1.0,
+            )
+        np.save(os.path.join(args.out_dir, "images", f"{k:06d}.npy"), img.astype(np.float32))
+
+    tio.write_tum(
+        os.path.join(args.out_dir, "groundtruth.tum"), stamps, r_wb[frame_idx], p_w[frame_idx]
+    )
+    print(
+        f"wrote {args.frames} frames to {args.out_dir} "
+        f"(peak |a|={np.linalg.norm(a_w, axis=1).max():.2f} m/s^2, "
+        f"extent={np.linalg.norm(p_w - p_w.mean(0), axis=1).max():.2f} m)"
+    )
     return 0
 
 

@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", default="trajectory.tum", help="TUM trajectory output path")
     p.add_argument("--metrics", default=None, help="JSONL per-frame metrics path")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument(
+        "--vo", action="store_true",
+        help="visual-only mode: ignore the dataset's IMU stream",
+    )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
         "--viz-dir",
@@ -122,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
             break
         if args.resume and frame.index <= est.frame_id:
             continue  # already processed before the snapshot
-        res = est.process_frame(frame.image, frame.timestamp, frame.imu)
+        res = est.process_frame(
+            frame.image, frame.timestamp, None if args.vo else frame.imu
+        )
         n_kf += int(res.is_keyframe)
         if args.checkpoint and args.checkpoint_every and (
             res.frame_id % args.checkpoint_every == 0
