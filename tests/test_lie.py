@@ -133,6 +133,30 @@ class TestInterp:
         np.testing.assert_allclose(fixed @ fixed.T, np.eye(3), atol=1e-5)
         assert float(jnp.linalg.det(fixed)) == pytest.approx(1.0, abs=1e-5)
 
+    def test_so3_renormalize_snaps_near_rotation(self, rng):
+        r = lie.so3_exp(rand_phi(rng))
+        noisy = r + 1e-3 * jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
+        fixed = lie.so3_renormalize(noisy)
+        np.testing.assert_allclose(fixed @ fixed.T, np.eye(3), atol=1e-6)
+        # batched
+        rs = lie.so3_exp_b(jnp.asarray(rng.standard_normal((8, 3)), jnp.float32))
+        noisy_b = rs + 1e-4 * jnp.asarray(rng.standard_normal((8, 3, 3)), jnp.float32)
+        fixed_b = lie.so3_renormalize(noisy_b)
+        err = jnp.abs(fixed_b @ jnp.swapaxes(fixed_b, -1, -2) - jnp.eye(3)).max()
+        assert float(err) < 1e-6
+
+    def test_const_velocity_composition_stays_on_manifold(self, rng):
+        """The VO prediction R_cur (R_prev^T R_cur) amplifies off-manifold
+        f32 error geometrically (~2.4x/frame measured: eps -> 0.29 in 23
+        frames, then inf). With the renorm the deviation stays at eps."""
+        r_prev = lie.so3_exp(rand_phi(rng))
+        r_cur = lie.so3_exp(rand_phi(rng))
+        for _ in range(200):
+            r_pred = lie.so3_renormalize(r_cur @ (r_prev.T @ r_cur))
+            r_prev, r_cur = r_cur, r_pred
+        dev = float(jnp.abs(r_cur @ r_cur.T - jnp.eye(3)).max())
+        assert dev < 1e-5, dev
+
 
 class TestBatched:
     def test_vmap_consistency(self, rng):

@@ -129,6 +129,31 @@ class TestTriangulateNew:
         win, n_new = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
         assert int(n_new) == 0
 
+    def test_live_ids_guard_blocks_relabeled_tracks(self):
+        """A slot whose live tracker id no longer matches the latest
+        keyframe snapshot (outlier-relabeled after BA bad-marking) must
+        not seed a landmark (Estimator.cpp:1159,1192 IsValid guard)."""
+        pts = synthetic.make_point_world(0, 20)
+        rs, ts = synthetic.make_trajectory(2, step=0.5)
+        uv, _ = synthetic.project_tracks(pts, rs, ts, W, H)
+        win = window.empty_window(K, L, C)
+        ids = jnp.full((C,), -1, jnp.int32).at[:20].set(jnp.arange(20))
+        z = jnp.zeros(3)
+        for i in range(2):
+            uvi = jnp.zeros((C, 2)).at[:20].set(jnp.asarray(uv[i]))
+            win = window.add_keyframe(
+                win, jnp.asarray(rs[i]), jnp.asarray(ts[i]), z, z, z,
+                jnp.asarray(float(i)), jnp.asarray(i), uvi, ids,
+            )
+        # slots 0..4 were relabeled after the snapshot: fresh ids
+        live = ids.at[:5].set(jnp.arange(1000, 1005))
+        win, n_new = window.triangulate_new_landmarks(
+            win, jnp.eye(4), W, H, live_ids=live
+        )
+        assert int(n_new) == 15
+        alive_slots = set(np.asarray(win.lm_slot)[np.asarray(win.lm_alive)].tolist())
+        assert alive_slots.isdisjoint(range(5))
+
 
 class TestWindowBA:
     def test_ba_improves_noisy_window(self):

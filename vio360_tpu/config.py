@@ -58,16 +58,21 @@ class OpticalFlowConfig:
 
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
+    # NOTE: the reference YAML also carries ransac.confidence, but the
+    # tracker never reads it (FeatureTracker.cpp:38 hardcodes 0.99 and
+    # runs every iteration anyway); a vmapped RANSAC scores all
+    # hypotheses regardless, so there is deliberately no field here.
     max_iterations: int = 1000
     threshold_degrees: float = 2.0  # FeatureTracker.cpp:37 hardcodes 2.0
-    confidence: float = 0.99
 
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    min_features_ratio: float = 0.5
+    # NOTE: tracking.min_features_ratio is parsed-but-dead in the
+    # reference too (only ConfigUtils touches it); re-detection here
+    # tops up to max_features every frame exactly like
+    # FeatureTracker::DetectNewFeatures, so no redetect threshold exists.
     min_parallax_for_keyframe: float = 10.0
-    redetect_below: int = 100  # Estimator.cpp:371-373
     # Extra keyframe trigger (beyond the reference's parallax-only rule):
     # create a keyframe when PnP inliers fall below this fraction of the
     # active map observations — keeps the local map fresh when features
@@ -87,7 +92,8 @@ class InitializationConfig:
     max_per_cell: int = 5
     ransac_threshold: float = 0.1
     ransac_iterations: int = 200
-    min_inlier_ratio: float = 0.7
+    # initialization.min_inlier_ratio is log-only in the reference ("ratio
+    # check removed for 360 cameras", Initializer.cpp:988) — not a field.
     max_reprojection_error: float = 5.0
 
 
@@ -101,6 +107,14 @@ class WindowConfig:
     pnp_rounds: int = 4
     pnp_min_inliers: int = 10
     max_lm_iterations: int = 50
+    # Visual-inertial window BA (solver/viba.py). The bias priors are
+    # zero-mean weights (1/sigma): sigma ~ 0.02 keeps the accel-bias /
+    # map-scale degeneracy from baking scale error into ba at low
+    # excitation; see run_viba's docstring.
+    viba_max_iterations: int = 20
+    viba_inertial_weight: float = 1.0
+    viba_bg_prior_weight: float = 50.0
+    viba_ba_prior_weight: float = 50.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -203,7 +217,6 @@ def load_yaml(path: str) -> VioConfig:
         capacity=-(-max_features // 128) * 128,
     )
     tracking = TrackingConfig(
-        min_features_ratio=_get(data, "tracking", "min_features_ratio", default=0.5),
         min_parallax_for_keyframe=_get(
             data, "tracking", "min_parallax_for_keyframe", default=10.0
         ),
@@ -215,7 +228,6 @@ def load_yaml(path: str) -> VioConfig:
         min_observations=_get(data, "initialization", "min_observations", default=10),
         ransac_threshold=_get(data, "initialization", "ransac_threshold", default=0.1),
         ransac_iterations=_get(data, "initialization", "ransac_iterations", default=200),
-        min_inlier_ratio=_get(data, "initialization", "min_inlier_ratio", default=0.7),
         max_reprojection_error=_get(
             data, "initialization", "max_reprojection_error", default=5.0
         ),

@@ -85,15 +85,41 @@ def _pnp_inputs(win: window.WindowState, ids, valid, uv, width, height, margin):
 
 
 @jax.jit
-def _kill_bad_tracks(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad):
-    """Invalidate tracker slots whose landmark BA just marked bad
-    (Optimizer.cpp:455-478 SetBad + the feature's IsValid going stale):
-    the corrupted track must not re-seed a landmark next keyframe."""
+def _relabel_tracks(track: tracker.TrackState, mask):
+    """Give outlier-latched slots a FRESH feature id.
+
+    This is the SoA equivalent of the reference's per-frame outlier
+    latch (Optimizer.cpp:253-267 SetValid(false)): the next frame's
+    Feature objects default back to valid (Feature.cpp:25), so the
+    persistent effect of the latch is only that map-point LINKING skips
+    the feature (Estimator.cpp:819) and triangulation skips it in the
+    keyframe where it was latched (Estimator.cpp:1159,1192). The 2D
+    track itself stays alive and re-seeds a NEW landmark once two fresh
+    keyframe snapshots carry it. Re-id-ing the slot reproduces exactly
+    that: the id-join to the old landmark and to pre-latch keyframe
+    snapshots breaks, the slot keeps its feature budget.
+
+    (An earlier kill-the-slot version starved the map: each latch storm
+    permanently destroyed tracks and n_shared collapsed.)
+    """
+    mask = mask & track.valid
+    fresh = track.next_id + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    return dataclasses.replace(
+        track,
+        ids=jnp.where(mask, fresh, track.ids),
+        next_id=track.next_id + jnp.sum(mask).astype(jnp.int32),
+    )
+
+
+@jax.jit
+def _bad_landmark_slots(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad):
+    """Tracker slots whose landmark BA just marked bad
+    (Optimizer.cpp:446-456 SetBad): joined by feature id so a recycled
+    slot is never hit."""
     cap = track.uv.shape[0]
     dest = jnp.where(new_bad, jnp.clip(lm_slot, 0, cap - 1), cap)
     bad_id = jnp.full((cap,), -2, jnp.int32).at[dest].set(lm_feat_id, mode="drop")
-    kill = track.ids == bad_id  # only if the slot still holds that feature
-    return dataclasses.replace(track, valid=track.valid & ~kill)
+    return track.ids == bad_id  # only if the slot still holds that feature
 
 
 @jax.jit
@@ -539,6 +565,11 @@ class Estimator:
             ri, ti = lie.se3_inverse(self.r_prev, self.t_prev)
             dr, dt = lie.se3_compose(ri, ti, self.r_cur, self.t_cur)
             r_pred, t_pred = lie.se3_compose(self.r_cur, self.t_cur, dr, dt)
+            # Snap back onto SO(3): this composition amplifies any
+            # off-manifold f32 error geometrically frame-over-frame
+            # (see lie.so3_renormalize — the reference SVD-normalizes
+            # every constructed SO3, LieUtils.h:40-44).
+            r_pred = lie.so3_renormalize(r_pred)
 
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         points, active, marg = _pnp_inputs(
@@ -558,14 +589,11 @@ class Estimator:
             )
             pnp_ok = bool(res.success)
         if pnp_ok:
-            # Outlier-latch feedback: chi2 outlier features are marked
-            # invalid in the tracker (Optimizer.cpp:253-267 SetValid(false)),
-            # so they stop spending feature budget and cannot seed landmarks
-            # (Estimator.cpp:1152-1156 skips !IsValid() in triangulation).
+            # Outlier-latch feedback: chi2 outlier features lose their
+            # landmark association and can only seed a fresh landmark
+            # from post-latch evidence (see _relabel_tracks).
             # res.outlier already excludes marginalized anchors.
-            self.track = dataclasses.replace(
-                self.track, valid=self.track.valid & ~res.outlier
-            )
+            self.track = _relabel_tracks(self.track, res.outlier)
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = res.r_wb, res.t_wb
         self.vel_cur = v_pred
@@ -640,7 +668,11 @@ class Estimator:
                 self.win, vres = window.window_viba(
                     self.win, self.t_bc, stacked, pair_valid, self.gravity_w,
                     self.bg, self.ba, cfg.camera.width, cfg.camera.height,
-                    cfg.camera.boundary_margin, max_iterations=20,
+                    cfg.camera.boundary_margin,
+                    max_iterations=cfg.window.viba_max_iterations,
+                    inertial_weight=cfg.window.viba_inertial_weight,
+                    bg_prior_weight=cfg.window.viba_bg_prior_weight,
+                    ba_prior_weight=cfg.window.viba_ba_prior_weight,
                 )
             new_bg, new_ba = vres.bg, vres.ba
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
@@ -656,17 +688,21 @@ class Estimator:
                     cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
                 )
             ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
-        # Feed the BA bad-marking back into track validity before
-        # triangulating, so a killed landmark's corrupted track can't
-        # immediately re-seed (Optimizer.cpp:455-478 + Estimator.cpp:1152-1156).
+        # Feed the BA bad-marking back into the tracker before
+        # triangulating: re-id the bad landmark's track so it can't
+        # immediately re-seed from the same corrupted snapshots
+        # (Optimizer.cpp:446-456 SetBad + Estimator.cpp:1159,1192).
         new_bad = vres.new_bad if self.imu_initialized else ba_res.new_bad
-        self.track = _kill_bad_tracks(
-            self.track, self.win.lm_slot, self.win.lm_feat_id, new_bad
+        self.track = _relabel_tracks(
+            self.track,
+            _bad_landmark_slots(
+                self.track, self.win.lm_slot, self.win.lm_feat_id, new_bad
+            ),
         )
         with self._stage("triangulation"):
             self.win, n_new = window.triangulate_new_landmarks(
                 self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
-                live_valid=self.track.valid,
+                live_ids=self.track.ids,
             )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import VioConfig
 from ..geometry import camera as cam
+from ..geometry import lie
 from ..geometry import triangulation
 from ..solver import ba as ba_mod
 from ..solver import viba as viba_mod
@@ -221,17 +222,19 @@ def triangulate_new_landmarks(
     t_bc: jax.Array,
     width: int,
     height: int,
-    live_valid: jax.Array | None = None,  # [C] tracker validity by slot
+    live_ids: jax.Array | None = None,  # [C] CURRENT tracker ids by slot
 ) -> tuple[WindowState, jax.Array]:
     """DLT-triangulate features shared by the last two keyframes that
     have no landmark yet (Estimator.cpp:1082-1318; every finite
     triangulation is accepted, matching the reference's ungated loop).
 
-    ``live_valid`` is the tracker's CURRENT per-slot validity: features
-    invalidated by the PnP/BA outlier latches are skipped, matching the
-    reference's ``!feature->IsValid()`` guard (Estimator.cpp:1152-1156)
-    — without it a landmark killed as bad would be instantly re-seeded
-    from the same corrupted track.
+    ``live_ids`` is the tracker's CURRENT per-slot feature id: a slot
+    whose live id no longer matches the latest keyframe snapshot was
+    outlier-relabeled after the snapshot (BA just marked its landmark
+    bad) and is skipped, matching the reference's ``!IsValid()`` guard
+    in the current keyframe (Estimator.cpp:1159,1192) — without it a
+    landmark killed as bad would be instantly re-seeded from the same
+    corrupted snapshots.
 
     Returns (window, number of new landmarks).
     """
@@ -249,8 +252,8 @@ def triangulate_new_landmarks(
     # slots that already have a landmark
     has_lm = slot_to_landmark(win, ids2) >= 0
     cand = shared & ~has_lm & ok_pair
-    if live_valid is not None:
-        cand &= live_valid
+    if live_ids is not None:
+        cand &= ids2 == live_ids
 
     # camera poses: T_wc = T_wb T_BC; T_cw = inv
     r_bc, p_bc = t_bc[:3, :3], t_bc[:3, 3]
@@ -317,7 +320,11 @@ def window_ba(
     )
     win = dataclasses.replace(
         win,
-        kf_r=jnp.where(kf_ok[:, None, None], res.r_wb, win.kf_r),
+        # renorm: window rotations survive many solves; keep them on
+        # SO(3) (reference SVD-normalizes, LieUtils.h:40-44)
+        kf_r=jnp.where(
+            kf_ok[:, None, None], lie.so3_renormalize(res.r_wb), win.kf_r
+        ),
         kf_t=jnp.where(kf_ok[:, None], res.t_wb, win.kf_t),
         lm_pos=jnp.where((win.lm_alive & ~win.lm_marg)[:, None], res.points, win.lm_pos),
         lm_alive=win.lm_alive & ~res.new_bad,
@@ -337,6 +344,9 @@ def window_viba(
     height: int,
     boundary_margin: float,
     max_iterations: int = 20,
+    inertial_weight: float = 1.0,
+    bg_prior_weight: float = 50.0,
+    ba_prior_weight: float = 50.0,
 ) -> tuple[WindowState, viba_mod.VibaResult]:
     """Visual-inertial local BA over the window (the completed
     RunVIBA, Optimizer.cpp:493-724): same gauge/outlier rules as
@@ -357,10 +367,15 @@ def window_viba(
         win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point, win.lm_marg,
         preints, pair_valid, gravity_w, r_cb, t_cb, width, height,
         max_iterations=max_iterations,
+        inertial_weight=inertial_weight,
+        bg_prior_weight=bg_prior_weight,
+        ba_prior_weight=ba_prior_weight,
     )
     win = dataclasses.replace(
         win,
-        kf_r=jnp.where(kf_ok[:, None, None], res.r_wb, win.kf_r),
+        kf_r=jnp.where(
+            kf_ok[:, None, None], lie.so3_renormalize(res.r_wb), win.kf_r
+        ),
         kf_t=jnp.where(kf_ok[:, None], res.t_wb, win.kf_t),
         kf_vel=jnp.where(kf_ok[:, None], res.vel, win.kf_vel),
         lm_pos=jnp.where((win.lm_alive & ~win.lm_marg)[:, None], res.points, win.lm_pos),

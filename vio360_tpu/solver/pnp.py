@@ -134,7 +134,9 @@ def solve_pnp_pallas(
         )
     )
     success = enough & (num_inliers >= min_inliers)
-    r_out = jnp.where(success, r_fin, r_wb_init)
+    # Snap onto SO(3) on the way out: PnP output feeds the next frame's
+    # constant-velocity prediction, which amplifies off-manifold error.
+    r_out = lie.so3_renormalize(jnp.where(success, r_fin, r_wb_init))
     t_out = jnp.where(success, t_fin, t_wb_init)
     return PnpResult(
         r_wb=r_out,
@@ -247,8 +249,10 @@ def solve_pnp_xla(
     num_outliers = jnp.sum(outlier).astype(jnp.int32)
     success = enough & (num_inliers >= min_inliers)
 
-    # Keep the predicted pose on failure (Optimizer.cpp:283-291)
-    r_out = jnp.where(success, r_fin, r_wb_init)
+    # Keep the predicted pose on failure (Optimizer.cpp:283-291);
+    # renormalized either way — PnP output feeds the next frame's
+    # constant-velocity prediction, which amplifies off-manifold error.
+    r_out = lie.so3_renormalize(jnp.where(success, r_fin, r_wb_init))
     t_out = jnp.where(success, t_fin, t_wb_init)
     return PnpResult(
         r_wb=r_out,
