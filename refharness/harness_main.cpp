@@ -179,13 +179,20 @@ int main(int argc, char** argv) {
                     frame_imu.push_back(d);
 
         auto t0 = std::chrono::steady_clock::now();
+        vio_360::Estimator::EstimationResult res;
         if (!frame_imu.empty())
-            estimator->ProcessFrame(img, stamps[i], frame_imu);
+            res = estimator->ProcessFrame(img, stamps[i], frame_imu);
         else
-            estimator->ProcessFrame(img, stamps[i]);
+            res = estimator->ProcessFrame(img, stamps[i]);
         wall_ms += std::chrono::duration<double, std::milli>(
                        std::chrono::steady_clock::now() - t0)
                        .count();
+        if (std::getenv("REF_HARNESS_VERBOSE"))
+            std::cerr << "frame " << i << " tracked=" << res.num_tracked
+                      << " inliers=" << res.num_inliers
+                      << " feats=" << res.num_features
+                      << " init=" << (estimator->IsInitialized() ? 1 : 0)
+                      << "\n";
         ++processed;
         prev_t = stamps[i];
     }

@@ -261,5 +261,6 @@ def load_yaml(path: str) -> VioConfig:
         else VioConfig.t_bc
     )
     return VioConfig(
-        camera=cam, features=feats, tracking=tracking, init=init, imu=imu, t_bc=t_bc
+        camera=cam, features=feats, tracking=tracking, init=init, imu=imu,
+        viz=viz, t_bc=t_bc,
     )

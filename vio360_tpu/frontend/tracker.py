@@ -170,12 +170,15 @@ def track_frame(
     age = jnp.where(survived, state.age + 1, 0)
     track_count = jnp.where(survived, state.track_count + 1, 0)
 
-    # 5. clustered-cell removal (ratio comes from the *visualization*
-    # config — the reference quirk, FeatureTracker.cpp:405-408)
-    survived = _remove_clustered(
-        uv_new, survived, w, h, f.grid_cols, f.grid_rows,
-        std_ratio=cfg.viz.clustered_std_ratio,
-    )
+    # 5. clustered-cell removal, GATED on the *visualization* flag and
+    # using its std ratio — the reference quirk (FeatureTracker.cpp:405-408
+    # returns early when highlight_clustered_grid is off). cfg is a
+    # static jit arg, so the gate costs nothing when disabled.
+    if cfg.viz.highlight_clustered_grid:
+        survived = _remove_clustered(
+            uv_new, survived, w, h, f.grid_cols, f.grid_rows,
+            std_ratio=cfg.viz.clustered_std_ratio,
+        )
     # 6. per-cell cap
     survived = _limit_per_cell(
         uv_new, survived, track_count, w, h, f.grid_cols, f.grid_rows,
