@@ -1,0 +1,195 @@
+"""Robustness end-to-end tests: noise, bias drift, outlier objects, long
+sequences, with tightened accuracy bounds (SURVEY.md §4 (3)).
+
+Mirrors the reference's graceful-degradation contract
+(Estimator.cpp:140-152 init retry, Optimizer.cpp:283-291 PnP coast):
+under photometric noise, IMU white noise + slow bias random walk, and
+rigidity-breaking moving objects, the pipeline must stay convergent and
+metric — not merely avoid crashing.
+
+Datasets come from tools/make_synthetic_dataset.py (analytic sinusoid
+trajectory, closed-form IMU, optional noise injection), the same
+generator the measured parity evaluation (EVAL.md) runs on.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from vio360_tpu import config as cfgmod
+from vio360_tpu.estimator.estimator import Estimator
+from vio360_tpu.io import trajectory as tio
+from vio360_tpu.io.dataset import VioDataset
+from vio360_tpu.utils import metrics
+
+CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic_480.yaml")
+
+
+def generate(tmp_path_factory, name, args):
+    import make_synthetic_dataset as gen
+
+    out = str(tmp_path_factory.mktemp(name))
+    assert gen.main([out, *args]) == 0
+    return out
+
+
+def run_pipeline(seq_dir, use_imu=True, cfg=None):
+    """Runs the estimator over a dataset.
+
+    Returns estimated/GT positions restricted to POST-INIT frames: the
+    bounds here judge estimation quality; init latency is judged by the
+    whole-trajectory parity evaluation (EVAL.md) where both systems pay
+    for their identity pre-init poses equally.
+    """
+    cfg = cfg or cfgmod.load_yaml(CFG_PATH)
+    est = Estimator(cfg)
+    ds = VioDataset(seq_dir, image_size=(cfg.camera.width, cfg.camera.height))
+    results = [
+        est.process_frame(f.image, f.timestamp, f.imu if use_imu else None)
+        for f in ds
+    ]
+    _, gt_r, gt_t = tio.read_tum(os.path.join(seq_dir, "groundtruth.tum"))
+    live = np.array([r.state != "bootstrapping" for r in results])
+    t_est = np.stack([np.asarray(r.t_wb) for r in results])[live]
+    gt_t = gt_t[: len(live)][live]
+    extent = float(np.linalg.norm(gt_t - gt_t.mean(0), axis=1).max())
+    return est, results, t_est, gt_t, extent
+
+
+class TestNoisyVio:
+    @pytest.fixture(scope="class")
+    def noisy_run(self, tmp_path_factory):
+        seq = generate(
+            tmp_path_factory, "vio_noisy",
+            ["--frames", "100", "--seed", "7", "--pixel-noise", "0.02",
+             "--imu-noise", "1.0", "--bias-drift", "1.0"],
+        )
+        return run_pipeline(seq)
+
+    def test_stays_tracking(self, noisy_run):
+        est, results, *_ = noisy_run
+        assert est.initialized and est.imu_initialized
+        lost = sum(r.state == "tracking_lost" for r in results)
+        assert lost <= len(results) // 10, f"{lost} lost frames"
+
+    def test_metric_ate_bound(self, noisy_run):
+        """se3 (metric, no scale alignment) ATE under 7% of extent with
+        photometric + IMU noise + slow bias random walk. (Measured 6.3%
+        at this full noise stack — the clean long run is bounded at 3%
+        below; the extra is the injected bias random walk, which the
+        zero-mean bias priors deliberately damp rather than chase,
+        matching the reference's Stage-2 priors, Optimizer.cpp:1143-1208.)"""
+        est, results, t_est, gt_t, extent = noisy_run
+        a = metrics.ate(t_est, gt_t, align="se3")
+        assert a.rmse < 0.07 * extent, (a.rmse, extent)
+
+    def test_scale_within_10pct(self, noisy_run):
+        est, results, t_est, gt_t, extent = noisy_run
+        a = metrics.ate(t_est, gt_t, align="sim3")
+        assert abs(a.scale - 1.0) < 0.10, a.scale
+
+    def test_poses_always_finite(self, noisy_run):
+        """No estimate may ever leave the manifold / diverge to inf —
+        the r1 failure mode (off-SO(3) drift) must stay dead."""
+        est, results, t_est, *_ = noisy_run
+        assert np.isfinite(t_est).all()
+        for r in results:
+            rr = np.asarray(r.r_wb)
+            assert np.abs(rr @ rr.T - np.eye(3)).max() < 1e-4
+
+
+class TestMovingObjects:
+    @pytest.fixture(scope="class")
+    def outlier_run(self, tmp_path_factory):
+        # 40 of 500 landmarks move at 0.5 m/s: rigidity violated for ~8%
+        # of tracks. The chi2 outlier latches (PnP rounds + BA
+        # bad-marking + track re-labeling) must keep them out of the map.
+        seq = generate(
+            tmp_path_factory, "vio_outliers",
+            ["--frames", "60", "--seed", "13", "--outlier-points", "40"],
+        )
+        return run_pipeline(seq)
+
+    def test_ate_despite_outliers(self, outlier_run):
+        est, results, t_est, gt_t, extent = outlier_run
+        a = metrics.ate(t_est, gt_t, align="se3")
+        assert a.rmse < 0.06 * extent, (a.rmse, extent)
+
+    def test_outliers_purged_from_map(self, outlier_run):
+        """Landmarks triangulated from moving-object tracks violate the
+        static-world model; the latches must keep the surviving map
+        consistent: reprojecting live landmarks through the final pose
+        must show only a small outlier fraction."""
+        est, *_ = outlier_run
+        import jax.numpy as jnp
+
+        from vio360_tpu.estimator import window as win_mod
+
+        uv, mask = win_mod.observations(est.win)
+        # chi2 over the final optimized window (same residuals BA used)
+        from vio360_tpu.solver import factors
+
+        r_bc = est.t_bc[:3, :3]
+        r_cb, t_cb = r_bc.T, -(r_bc.T @ est.t_bc[:3, 3])
+        cfg = est.cfg
+        k = int(est.win.n_kf)
+        _, p_c = factors.transform_points(
+            est.win.kf_r[:k], est.win.kf_t[:k], r_cb, t_cb, est.win.lm_pos
+        )
+        res = factors.reprojection_residual(
+            p_c, uv[:k], cfg.camera.width, cfg.camera.height
+        )
+        chi2 = np.asarray(jnp.sum(res * res, axis=-1))  # [k, M]
+        m = np.asarray(mask[:k] & est.win.lm_alive[None, :])
+        n_bad = int((chi2[m] > 5.991).sum())
+        n_tot = int(m.sum())
+        assert n_tot > 0
+        assert n_bad / n_tot < 0.15, (n_bad, n_tot)
+
+
+class TestLongSequence:
+    @pytest.fixture(scope="class")
+    def long_run(self, tmp_path_factory):
+        seq = generate(
+            tmp_path_factory, "vio_long200",
+            ["--frames", "200", "--seed", "5", "--yaw-rate", "0.3"],
+        )
+        return run_pipeline(seq)
+
+    def test_long_metric_ate(self, long_run):
+        """200 frames (20 s), dozens of window evictions: se3 ATE < 3%
+        of extent and metric scale within 5%."""
+        est, results, t_est, gt_t, extent = long_run
+        a = metrics.ate(t_est, gt_t, align="se3")
+        assert a.rmse < 0.03 * extent, (a.rmse, extent)
+        s = metrics.ate(t_est, gt_t, align="sim3")
+        assert abs(s.scale - 1.0) < 0.05, s.scale
+
+    def test_map_keeps_turning_over(self, long_run):
+        """Slot recycling keeps the map fresh across evictions: the
+        window's landmark pool must not silently saturate (VERDICT r1:
+        add_landmarks dropped silently)."""
+        est, results, *_ = long_run
+        drops = [r.diag.get("n_lm_dropped", 0) for r in results if r.is_keyframe]
+        alive = [r.diag.get("n_lm_alive", 0) for r in results if r.is_keyframe]
+        # new landmarks keep being accepted in the second half
+        new2 = [r.diag.get("n_new_landmarks", 0) for r in results if r.is_keyframe]
+        assert sum(new2[len(new2) // 2:]) > 0
+        # saturation, if any, is reported not hidden
+        assert all(d >= 0 for d in drops) and len(alive) > 0
+
+
+class TestTightVO:
+    def test_vo_clean_3pct(self, tmp_path_factory):
+        """Clean VO: sim3 ATE under 3% of extent (tightened from 8%)."""
+        seq = generate(
+            tmp_path_factory, "vo_tight",
+            ["--frames", "40", "--seed", "11", "--accel-scale", "0.7"],
+        )
+        est, results, t_est, gt_t, extent = run_pipeline(seq, use_imu=False)
+        a = metrics.ate(t_est, gt_t, align="sim3")
+        assert a.rmse < 0.03 * extent, (a.rmse, extent)

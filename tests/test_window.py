@@ -100,7 +100,7 @@ class TestTriangulateNew:
                 win, jnp.asarray(rs[i]), jnp.asarray(ts[i]), z, z, z,
                 jnp.asarray(float(i)), jnp.asarray(i), uvi, ids,
             )
-        win, n_new = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
+        win, n_new, _ = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
         assert int(n_new) == 20
         # positions match the true world points
         alive = np.asarray(win.lm_alive)
@@ -126,7 +126,7 @@ class TestTriangulateNew:
         win = window.add_landmarks(
             win, jnp.zeros((C, 3)), jnp.zeros(C, bool).at[:10].set(True), ids, win.kf_id[0]
         )
-        win, n_new = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
+        win, n_new, _ = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
         assert int(n_new) == 0
 
     def test_live_ids_guard_blocks_relabeled_tracks(self):
@@ -147,12 +147,33 @@ class TestTriangulateNew:
             )
         # slots 0..4 were relabeled after the snapshot: fresh ids
         live = ids.at[:5].set(jnp.arange(1000, 1005))
-        win, n_new = window.triangulate_new_landmarks(
+        win, n_new, _ = window.triangulate_new_landmarks(
             win, jnp.eye(4), W, H, live_ids=live
         )
         assert int(n_new) == 15
         alive_slots = set(np.asarray(win.lm_slot)[np.asarray(win.lm_alive)].tolist())
         assert alive_slots.isdisjoint(range(5))
+
+    def test_slot_saturation_is_reported(self):
+        """Landmark-slot saturation must be visible (n_dropped), never a
+        silent cap on map growth."""
+        small_l = 8
+        pts = synthetic.make_point_world(0, 20)
+        rs, ts = synthetic.make_trajectory(2, step=0.5)
+        uv, _ = synthetic.project_tracks(pts, rs, ts, W, H)
+        win = window.empty_window(K, small_l, C)
+        ids = jnp.full((C,), -1, jnp.int32).at[:20].set(jnp.arange(20))
+        z = jnp.zeros(3)
+        for i in range(2):
+            uvi = jnp.zeros((C, 2)).at[:20].set(jnp.asarray(uv[i]))
+            win = window.add_keyframe(
+                win, jnp.asarray(rs[i]), jnp.asarray(ts[i]), z, z, z,
+                jnp.asarray(float(i)), jnp.asarray(i), uvi, ids,
+            )
+        win, n_new, n_dropped = window.triangulate_new_landmarks(win, jnp.eye(4), W, H)
+        assert int(n_new) == small_l
+        assert int(n_dropped) == 20 - small_l
+        assert int(win.lm_alive.sum()) == small_l
 
 
 class TestWindowBA:

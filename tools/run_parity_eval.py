@@ -167,14 +167,18 @@ def write_eval_md(out: dict) -> None:
         "Regenerate: `python tools/run_parity_eval.py` (add `--quick` to skip",
         "the 200-frame sequence).",
         "",
-        "| sequence | mode | extent | vio360_tpu ATE se3 | ref ATE se3 | tpu scale err | ref scale err | tpu RPE | ref RPE |",
+        "| sequence | mode | extent | vio360_tpu ATE | ref ATE | tpu scale err | ref scale err | tpu RPE | ref RPE |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for row in out["results"]:
         t, r = row.get("tpu", {}), row.get("ref", {})
+        # Monocular VO has no observable scale (gauge freedom), so sim3
+        # ATE is the meaningful accuracy metric there; VIO must recover
+        # metric scale, so it is judged on se3.
+        key = "ate_rmse_se3" if row["mode"] == "vio" else "ate_rmse_sim3"
         lines.append(
             f"| {row['name']} | {row['mode']} | {row['extent_m']:.2f} m "
-            f"| **{fmt(t, 'ate_rmse_se3')}** | {fmt(r, 'ate_rmse_se3')} "
+            f"| **{fmt(t, key)}** | {fmt(r, key)} "
             f"| {fmt(t, 'scale_error', 100, 1)}% | {fmt(r, 'scale_error', 100, 1)}% "
             f"| {fmt(t, 'rpe_trans_rmse')} | {fmt(r, 'rpe_trans_rmse')} |"
         )
@@ -182,6 +186,9 @@ def write_eval_md(out: dict) -> None:
         "",
         "Notes:",
         "- ATE/RPE in metres (RMSE). `—` = run failed or reference binary absent.",
+        "- ATE alignment: sim3 for VO rows (monocular gauge — scale is",
+        "  unobservable for both systems), se3 for VIO rows (metric scale is",
+        "  part of the job).",
         "- The reference is monocular-gauge in VO mode (scale unobservable);",
         "  in VIO mode its IMU init provides metric scale, same as ours.",
         "- Wall-clock is not compared here: the reference runs on 2 CPU cores,",

@@ -700,9 +700,14 @@ class Estimator:
             ),
         )
         with self._stage("triangulation"):
-            self.win, n_new = window.triangulate_new_landmarks(
+            self.win, n_new, n_dropped = window.triangulate_new_landmarks(
                 self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
                 live_ids=self.track.ids,
+            )
+        if int(n_dropped):
+            log.warning(
+                "landmark slots saturated: dropped %d new landmarks "
+                "(capacity %d)", int(n_dropped), self.win.max_lm,
             )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
@@ -712,6 +717,9 @@ class Estimator:
         self._log_window_poses()
         diag.update(
             n_new_landmarks=int(n_new),
+            n_lm_dropped=int(n_dropped),
+            n_lm_alive=int(jnp.sum(self.win.lm_alive)),
+            n_lm_marginalized=int(jnp.sum(self.win.lm_marg & self.win.lm_alive)),
             ba_cost=ba_cost,
             ba_inliers=ba_inl,
         )

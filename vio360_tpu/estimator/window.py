@@ -272,8 +272,13 @@ def triangulate_new_landmarks(
     pts_w, tri_ok = triangulation.triangulate_dlt(b1, b2, t1w, t2w)
     new_valid = cand & tri_ok
 
+    # Saturation is observable, never silent: report how many accepted
+    # triangulations found no free landmark slot this keyframe.
+    n_free = jnp.sum(~win.lm_alive)
+    n_want = jnp.sum(new_valid)
+    n_dropped = jnp.maximum(n_want - n_free, 0)
     win = add_landmarks(win, pts_w, new_valid, ids2, win.kf_id[i1])
-    return win, jnp.sum(new_valid)
+    return win, jnp.minimum(n_want, n_free), n_dropped
 
 
 def window_ba(
