@@ -143,3 +143,62 @@ class TestEndToEndVIO:
         post = [r for r in results if r.state in ("tracking", "tracking_lost")]
         lost = [r for r in post if r.state == "tracking_lost"]
         assert len(lost) <= len(post) // 3
+
+
+class TestScaleGravityRefine:
+    """Pins the periodic inertial scale/gravity refinement schedule in
+    isolation (estimator._refine_scale_gravity): corrections must be
+    applied when the window drifts off metric, and the 0.5<s<2.0 gate
+    must reject degenerate estimates. (r1 covered this only implicitly
+    through the single e2e fixture.)"""
+
+    def _scaled_estimator(self, factor):
+        import dataclasses
+
+        frames, gt_r, gt_t, g_w = make_vio_sequence(n_frames=24, seed=5)
+        est = Estimator(make_cfg())
+        for (t, img, imu) in frames:
+            est.process_frame(img, t, imu)
+        assert est.imu_initialized
+        # Simulate scale drift: stretch poses/landmarks/velocities by
+        # `factor` while the preintegrations stay metric.
+        est.win = dataclasses.replace(
+            est.win,
+            kf_t=est.win.kf_t * factor,
+            kf_vel=est.win.kf_vel * factor,
+            lm_pos=est.win.lm_pos * factor,
+        )
+        est.scale_refine_count = 0
+        return est
+
+    def test_refine_pulls_back_to_metric(self):
+        """A 35% scale drift must be detected and corrected in one pass.
+        The applied scale is measured on keyframe DISPLACEMENTS from
+        KF0 (the alignment is a similarity about the first keyframe plus
+        a gravity re-rotation, so per-row norms are not the scale)."""
+        factor = 1.35
+        est = self._scaled_estimator(factor)
+        before = np.asarray(est.win.kf_t).copy()
+        diag = {}
+        est._refine_scale_gravity(diag)
+        assert "scale_refine" in diag
+        after = np.asarray(est.win.kf_t)
+        d_before = np.linalg.norm(before[1:] - before[0], axis=1)
+        d_after = np.linalg.norm(after[1:] - after[0], axis=1)
+        s_applied = np.median(d_after / np.maximum(d_before, 1e-9))
+        np.testing.assert_allclose(s_applied * factor, 1.0, atol=0.08)
+
+    def test_gate_rejects_degenerate_scale(self):
+        factor = 4.0  # implies a correction of ~0.25 — outside (0.5, 2)
+        est = self._scaled_estimator(factor)
+        before = np.asarray(est.win.kf_t).copy()
+        est._refine_scale_gravity({})
+        np.testing.assert_allclose(np.asarray(est.win.kf_t), before)
+        assert est.scale_refine_count == 0
+
+    def test_refine_budget_respected(self):
+        est = self._scaled_estimator(1.0)
+        est.scale_refine_count = 12  # max_refines default
+        before = np.asarray(est.win.kf_t).copy()
+        est._refine_scale_gravity({})
+        np.testing.assert_allclose(np.asarray(est.win.kf_t), before)

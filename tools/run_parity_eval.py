@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -111,6 +112,11 @@ def main(argv=None) -> int:
         else:
             row["tpu"] = evaluate(tpu_tum, gt)
             row["tpu"]["wall_s"] = round(dt, 1)
+            # "done: N frames in S (F fps), K keyframes, L landmarks"
+            m = re.search(r"(\d+) keyframes, (\d+) landmarks", r.stdout + r.stderr)
+            if m:
+                row["tpu"]["keyframes"] = int(m.group(1))
+                row["tpu"]["landmarks"] = int(m.group(2))
         print(f"[{name}] vio360_tpu: {json.dumps(row['tpu'])[:200]}")
 
         # --- reference ---
