@@ -103,28 +103,107 @@ def bench_frame_step():
     return dt * 1e3
 
 
+def bench_multi_stream(batches=(1, 8)):
+    """Frames/s serving B independent camera streams on ONE chip via the
+    multi_seq sharded frame step (BASELINE.md: >=80% frames/s scaling
+    efficiency). On one device the seq axis is occupancy scaling: the
+    efficiency number reports how close B streams come to B x the
+    single-stream throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from vio360_tpu.parallel import multi_seq
+
+    w, h = 960, 480
+    _, args = ge.entry()
+    mesh = multi_seq.make_seq_mesh(jax.devices()[:1])
+    step = multi_seq.make_multi_seq_frame_step(mesh, w, h)
+
+    out = {}
+    for b in batches:
+        def tile(x):
+            return jnp.broadcast_to(x[None], (b, *x.shape)).copy()
+
+        argsets = []
+        for i in range(4):
+            ip = jnp.asarray(np.roll(np.asarray(args[0]), 3 * i, axis=1))
+            inx = jnp.asarray(np.roll(np.asarray(args[1]), 3 * i, axis=1))
+            argsets.append(
+                (tile(ip), tile(inx), *[tile(a) for a in args[2:8]], *args[8:])
+            )
+        dt = time_fn(step, argsets, warmup=2, iters=8)
+        out[b] = b / dt  # frames/s across all streams
+    eff = out[batches[-1]] / (batches[-1] * out[batches[0]])
+    return out, eff
+
+
+def bench_accuracy():
+    """End-to-end accuracy on the stock 30-frame synthetic VIO demo
+    (CPU subprocess — accuracy is platform-independent; the driver's
+    BENCH record then tracks ATE/scale regressions round over round)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    seq = "/tmp/bench_seq30"
+    env = {
+        **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+        "JAX_PLATFORMS": "cpu",
+    }
+    if not os.path.isfile(os.path.join(seq, "groundtruth.tum")):
+        subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "make_synthetic_dataset.py"),
+             seq, "--frames", "30"],
+            env=env, check=True, capture_output=True,
+        )
+    traj = os.path.join(seq, "bench_traj.tum")
+    r = subprocess.run(
+        [sys.executable, "-m", "vio360_tpu", seq, "--config",
+         os.path.join(root, "configs", "synthetic_480.yaml"),
+         "--output", traj, "--quiet"],
+        env=env, cwd=root, capture_output=True, text=True,
+    )
+    if r.returncode:
+        return None
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "evaluate_ate.py"),
+         traj, os.path.join(seq, "groundtruth.tum")],
+        env=env, capture_output=True, text=True,
+    )
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def main():
     import jax
 
     dev = jax.devices()[0]
     ba_ms, ba_iters = bench_window_ba()
     frame_ms = bench_frame_step()
+    streams, eff = bench_multi_stream()
+    acc = bench_accuracy()
     target_ms = 5.0
-    print(
-        json.dumps(
-            {
-                "metric": "sliding_window_ba_latency",
-                "value": round(ba_ms, 3),
-                "unit": "ms/frame",
-                "vs_baseline": round(target_ms / ba_ms, 3),
-                "ba_lm_iterations": ba_iters,
-                "frontend_pnp_step_ms": round(frame_ms, 3),
-                "vo_fps_upper_bound": round(1e3 / (frame_ms + ba_ms / 5.0), 1),
-                "device": str(dev),
-                "platform": dev.platform,
-            }
-        )
-    )
+    rec = {
+        "metric": "sliding_window_ba_latency",
+        "value": round(ba_ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(target_ms / ba_ms, 3),
+        "ba_lm_iterations": ba_iters,
+        "frontend_pnp_step_ms": round(frame_ms, 3),
+        "vo_fps_upper_bound": round(1e3 / (frame_ms + ba_ms / 5.0), 1),
+        "multi_stream_fps": {str(b): round(v, 1) for b, v in streams.items()},
+        "multi_stream_efficiency": round(eff, 3),
+        "device": str(dev),
+        "platform": dev.platform,
+    }
+    if acc:
+        rec["ate_rmse_se3"] = round(acc["ate_rmse_se3"], 4)
+        rec["scale_error"] = round(acc["scale_error"], 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ cv::calcOpticalFlowPyrLK defaults as used by the reference tracker
 (FeatureTracker.cpp:228-251).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -81,3 +82,26 @@ def test_matmul_tiny_image_skips_deep_levels():
         jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(uv), jnp.asarray(valid)
     )
     assert np.isfinite(np.asarray(uv_m)).all()
+
+
+def test_no_tracer_leak_across_traces():
+    """track()'s cached pyramid operators must be concrete arrays even
+    when the FIRST call happens inside an outer jit trace — a bare
+    device_put there caches a tracer of that trace and every later
+    jitted caller dies with UnexpectedTracerError (hit by bench.py's
+    multi-stream stage after the frame-step stage)."""
+    lk_matmul._pyr_device.cache_clear()
+    img = jnp.asarray(np.random.default_rng(0).random((240, 480), np.float32))
+    uv = jnp.asarray(np.random.default_rng(1).uniform(30, 200, (64, 2)), jnp.float32)
+    valid = jnp.ones(64, bool)
+
+    @jax.jit
+    def first(a, b):
+        return lk_matmul.track(a, b, uv, valid)[0]
+
+    @jax.jit
+    def second(a, b):
+        return lk_matmul.track(a, b, uv, valid)[0]
+
+    assert first(img, img).shape == (64, 2)
+    assert second(img, img).shape == (64, 2)

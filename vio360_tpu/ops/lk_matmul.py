@@ -244,7 +244,18 @@ def _pyr_device(h: int, w: int, num_levels: int):
     """Device-resident composed blur+decimate operators: level-k image
     = V_k @ img @ U_k^T as two MXU matmuls from the raw frame (the conv
     formulation of build_pyramid lowers to slow single-channel convs on
-    TPU). Level 0 is the raw image (no operators)."""
+    TPU). Level 0 is the raw image (no operators).
+
+    The device_puts run under ensure_compile_time_eval: track() may be
+    FIRST called inside an outer jit trace, and a bare device_put there
+    returns a tracer of that trace — which this lru_cache would then
+    leak into every later trace (UnexpectedTracerError on the second
+    jitted caller)."""
+    with jax.ensure_compile_time_eval():
+        return _pyr_device_build(h, w, num_levels)
+
+
+def _pyr_device_build(h: int, w: int, num_levels: int):
     mats = {}
     v_k = np.eye(h)
     u_k = np.eye(w)

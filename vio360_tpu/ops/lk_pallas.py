@@ -286,7 +286,10 @@ def _prep_device(h: int, w: int, num_levels: int, half_win: int):
     on later executions (~8 ms/frame regression after other large
     programs ran)."""
     mats, meta = _prep_operators(h, w, num_levels, half_win)
-    dev = tuple(tuple(jax.device_put(a) for a in lvl) for lvl in mats)
+    # ensure_compile_time_eval: a bare device_put during an outer jit
+    # trace would cache a tracer of that trace (see lk_matmul._pyr_device).
+    with jax.ensure_compile_time_eval():
+        dev = tuple(tuple(jax.device_put(a) for a in lvl) for lvl in mats)
     return dev, meta
 
 
