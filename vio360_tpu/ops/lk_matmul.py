@@ -47,6 +47,14 @@ from . import pyramid as pyr
 # Search patch: template window (2*half+1) + drift margin on each side.
 _DRIFT = 6  # px per level beyond the initial guess
 
+# Pyramid-operator matmul precision. Measured on the tunneled v5e:
+# HIGH/DEFAULT shift tracked positions by up to 0.49/0.56 px vs HIGHEST
+# (the composed blur operators feed template gradients, where bf16
+# rounding is NOT hidden by the gathers' own bf16 cast) while saving
+# nothing end-to-end — the pyramid matmuls overlap other work. Keep the
+# 6-pass f32-equivalent product.
+_PYR_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _row_selectors(v0: jax.Array, g: int, h: int) -> jax.Array:
     """[N] integer top rows -> [N, g, h] one-hot row selectors (clamped)."""
@@ -236,7 +244,15 @@ def _track_level(
     ok_out = ok_in & ok_g & inb & (v_f >= 0.0) & (v_f <= h - 1.0)
     u_out = jnp.where(ok_out, u_f, u_t)
     v_out = jnp.where(ok_out, v_f, v_t)
-    return jnp.stack([u_out, v_out], axis=-1), ok_out
+    # OpenCV-style err: mean |J - I| over the tracking window at the
+    # final position, from the CACHED patches (one extra in-patch
+    # sample) — replaces a separate image-gather pass that cost ~0.8 ms
+    # per frame at the production operating point.
+    j_fin = _sample_in_patch(
+        jpatch, jnp.clip(lu, 0.0, g - p - 1.0), jnp.clip(lv, 0.0, g - p - 1.0), p
+    )
+    err = jnp.mean(jnp.abs(j_fin - t_pat), axis=(1, 2))
+    return jnp.stack([u_out, v_out], axis=-1), ok_out, err
 
 
 @functools.lru_cache(maxsize=8)
@@ -256,33 +272,60 @@ def _pyr_device(h: int, w: int, num_levels: int):
 
 
 def _pyr_device_build(h: int, w: int, num_levels: int):
-    mats = {}
+    """Level operators, fused for launch efficiency.
+
+    The naive form (per level, per image: V_k @ img @ U_k^T) issues
+    4*num_levels small HIGHEST-precision matmuls whose M-dims (240/120/
+    60 rows) under-fill the MXU — measured ~0.9 ms of the frame step.
+    Fused form: ONE left matmul applies every level's composed blur to
+    BOTH images stacked row-wise (block-diagonal [sum 2*h_k, 2H]
+    operator), then one right matmul per level applies that level's
+    (wrap-pad o blur)^T. Same math, 1 + num_levels launches with
+    MXU-friendly shapes.
+
+    Returns (shapes, bd, us, offs): shapes[lvl] = (h_k, w_k) for
+    lvl 0..num_levels; bd = [sum 2h_k, 2H] device f32 (None when
+    num_levels == 0); us[lvl-1] = [W, WP_k] device f32; offs[lvl-1] =
+    row offset of level lvl's 2*h_k block in bd's output.
+    """
+    shapes = {}
+    v_list, u_list = [], []
     v_k = np.eye(h)
     u_k = np.eye(w)
     h_k, w_k = h, w
     for lvl in range(num_levels + 1):
-        # Right operator = (wrap-pad to whole 128 blocks) o (pyramid):
-        # the gather's block-select stage needs 128-aligned width with
-        # seam wraparound baked in. Level 0's operators are identities
-        # (pure wrap-pad); mark with None and pad by concatenation —
-        # two 480x960-scale identity matmuls per image are pure waste.
-        wp = pad_blocks(w_k)
-        if lvl == 0:
-            mats[lvl] = (None, None, h_k, w_k)
-        else:
+        shapes[lvl] = (h_k, w_k)
+        if lvl > 0:
+            # Right operator = (wrap-pad to whole 128 blocks) o blur:
+            # the gather's block-select stage needs 128-aligned width
+            # with seam wraparound baked in.
+            wp = pad_blocks(w_k)
             u_pad = (pyr.wrap_pad_matrix(wp, w_k).astype(np.float64) @ u_k).T
-            mats[lvl] = (
-                jax.device_put(np.ascontiguousarray(v_k, np.float32)),
-                jax.device_put(np.ascontiguousarray(u_pad, np.float32)),
-                h_k,
-                w_k,
-            )
+            v_list.append(np.ascontiguousarray(v_k, np.float32))
+            u_list.append(np.ascontiguousarray(u_pad, np.float32))
         if lvl < num_levels:
             v_k = pyr.blur_decimate_matrix(h_k, wrap=False).astype(np.float64) @ v_k
             u_k = pyr.blur_decimate_matrix(w_k, wrap=True).astype(np.float64) @ u_k
             h_k = -(-h_k // 2)
             w_k = -(-w_k // 2)
-    return mats
+    if not v_list:
+        return shapes, None, (), ()
+    rows = sum(2 * v.shape[0] for v in v_list)
+    bd = np.zeros((rows, 2 * h), np.float32)
+    offs = []
+    off = 0
+    for v in v_list:
+        hk = v.shape[0]
+        bd[off : off + hk, 0:h] = v
+        bd[off + hk : off + 2 * hk, h : 2 * h] = v
+        offs.append(off)
+        off += 2 * hk
+    return (
+        shapes,
+        jax.device_put(bd),
+        tuple(jax.device_put(u) for u in u_list),
+        tuple(offs),
+    )
 
 
 def track(
@@ -297,27 +340,25 @@ def track(
     eps: float = 0.01,
     min_eig_threshold: float = 1.5e-9,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    mats = _pyr_device(img_prev.shape[0], img_prev.shape[1], num_levels)
+    shapes, bd, us, offs = _pyr_device(
+        img_prev.shape[0], img_prev.shape[1], num_levels
+    )
     if uv_guess is None:
         uv_guess = uv_prev
-    level_mats = tuple(
-        (mats[lvl][0], mats[lvl][1]) for lvl in range(num_levels + 1)
-    )
-    level_shapes = tuple(
-        (mats[lvl][2], mats[lvl][3]) for lvl in range(num_levels + 1)
-    )
+    level_shapes = tuple(shapes[lvl] for lvl in range(num_levels + 1))
     return _track_impl(
-        img_prev, img_next, uv_prev, valid_in, uv_guess, level_mats,
-        level_shapes=level_shapes, num_levels=num_levels, half_win=half_win,
-        iters=iters, eps=eps, min_eig_threshold=min_eig_threshold,
+        img_prev, img_next, uv_prev, valid_in, uv_guess, bd, us,
+        level_offs=offs, level_shapes=level_shapes, num_levels=num_levels,
+        half_win=half_win, iters=iters, eps=eps,
+        min_eig_threshold=min_eig_threshold,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "level_shapes", "num_levels", "half_win", "iters", "eps",
-        "min_eig_threshold",
+        "level_offs", "level_shapes", "num_levels", "half_win", "iters",
+        "eps", "min_eig_threshold",
     ),
 )
 def _track_impl(
@@ -326,8 +367,10 @@ def _track_impl(
     uv_prev: jax.Array,
     valid_in: jax.Array,
     uv_guess: jax.Array,
-    level_mats,  # tuple per level of (V_k, U_k^T) or (None, None) at lvl 0
+    bd,  # [sum 2h_k, 2H] fused left operator (None when num_levels == 0)
+    us,  # tuple of [W, WP_k] right operators for levels 1..num_levels
     *,
+    level_offs,
     level_shapes,
     num_levels: int,
     half_win: int,
@@ -337,7 +380,7 @@ def _track_impl(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pyramidal LK, matmul-gather formulation; ops.lk.track contract."""
     w = img_prev.shape[1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PYR_PRECISION
 
     def wrap_pad(img):
         wp = pad_blocks(w)
@@ -346,23 +389,35 @@ def _track_impl(
         ]
         return jnp.concatenate(reps, axis=1)[:, :wp]
 
+    # All pyramid levels for BOTH images in one left matmul (see
+    # _pyr_device_build), then one right matmul per level.
+    if bd is not None:
+        l_all = jnp.matmul(
+            bd, jnp.concatenate([img_prev, img_next], axis=0), precision=hi
+        )
+
     def level_imgs(lvl):
-        v_m, u_m = level_mats[lvl]
-        if v_m is None:  # level 0: pure horizontal wrap-pad
+        if lvl == 0:  # level 0: pure horizontal wrap-pad
             return wrap_pad(img_prev), wrap_pad(img_next)
-        li = jnp.matmul(jnp.matmul(v_m, img_prev, precision=hi), u_m, precision=hi)
-        lj = jnp.matmul(jnp.matmul(v_m, img_next, precision=hi), u_m, precision=hi)
-        return li, lj
+        hk = level_shapes[lvl][0]
+        off = level_offs[lvl - 1]
+        pair = jnp.matmul(
+            jax.lax.slice_in_dim(l_all, off, off + 2 * hk, axis=0),
+            us[lvl - 1],
+            precision=hi,
+        )
+        return pair[:hk], pair[hk:]
 
     uv = uv_guess.astype(jnp.float32)
     status = valid_in
+    err = jnp.zeros(uv_prev.shape[0], jnp.float32)
 
     for lvl in range(num_levels, -1, -1):
         if level_shapes[lvl][0] < half_win:
             continue
         im_i, im_j = level_imgs(lvl)
         s = 1.0 / (2.0**lvl)
-        uv_l, status = _track_level(
+        uv_l, status, err = _track_level(
             im_i,
             im_j,
             level_shapes[lvl][1],
@@ -377,14 +432,6 @@ def _track_impl(
         uv = uv_l / s
 
     status = status & jnp.all(jnp.isfinite(uv), axis=-1)
-    from .sampling import bilinear_sample, patch_coords
-
-    pc_i = patch_coords(uv_prev, 1)
-    pc_j = patch_coords(uv, 1)
-    err = jnp.mean(
-        jnp.abs(bilinear_sample(img_next, pc_j) - bilinear_sample(img_prev, pc_i)),
-        axis=-1,
-    )
     uv = uv.at[:, 0].set(jnp.mod(uv[:, 0], w))
     uv = jnp.where(status[:, None], uv, uv_prev)
     return uv, status, err
