@@ -80,14 +80,18 @@ def _gather_int_patches(
        column reduction that lowers to a VPU multiply-reduce);
     3. column selection within the 256-col window (small einsum).
     The image is pre-padded to a whole number of 128 blocks with
-    wrap-around content so stage 2 indices never wrap."""
+    wrap-around content so stage 2 indices never wrap.
+
+    All intermediates bf16: every stage is a one-hot SELECTION of
+    values already bf16-quantized at the image cast, so bf16 storage
+    is lossless here and halves the dominant HBM traffic (the [N, g,
+    WP] rows array is ~100 MB at level 0 in f32). int8 with int32
+    accumulators was measured SLOWER (4.96 vs 3.79 ms end-to-end):
+    the s32 einsum outputs materialize at 4 bytes before the s8 cast,
+    doubling the very traffic the quantization was meant to halve."""
     h, wp = img_pad.shape
     nb = wp // 128
     rw = _row_selectors(v0, g, h)
-    # All intermediates bf16: every stage is a one-hot SELECTION of
-    # values already bf16-quantized at the image cast, so bf16 storage
-    # is lossless here and halves the dominant HBM traffic (the [N, g,
-    # WP] rows array is ~100 MB at level 0 in f32).
     rows = jnp.einsum(
         "fgh,hw->fgw", rw, img_pad.astype(jnp.bfloat16),
         preferred_element_type=jnp.bfloat16,
@@ -145,12 +149,23 @@ def _frac_weights(x: jax.Array, p: int, g: int) -> jax.Array:
 
 def _sample_in_patch(patch: jax.Array, lu: jax.Array, lv: jax.Array, p: int) -> jax.Array:
     """Sample [N, p, p] windows at patch-local fractional origin
-    (lu, lv) from [N, g, g] patches: two batched small einsums."""
+    (lu, lv) from [N, g, g] patches: two batched small einsums.
+
+    bf16 operands, f32 accumulation: the ladder is memory-bound on
+    these [N, p, g] intermediates; the bilinear weights carry <=11
+    significant bits anyway (two complementary fractions), and patch
+    values are on the bf16 grid from the gather stage.
+    """
     g = patch.shape[1]
-    wv = _frac_weights(lv, p, g)  # [N, p, g]
-    wu = _frac_weights(lu, p, g)  # [N, p, g]
-    rows = jnp.einsum("fpg,fgr->fpr", wv, patch)  # [N, p, g]
-    return jnp.einsum("fpr,fqr->fpq", rows, wu)  # [N, p, p]
+    bf = jnp.bfloat16
+    wv = _frac_weights(lv, p, g).astype(bf)  # [N, p, g]
+    wu = _frac_weights(lu, p, g).astype(bf)  # [N, p, g]
+    rows = jnp.einsum(
+        "fpg,fgr->fpr", wv, patch.astype(bf), preferred_element_type=bf
+    )  # [N, p, g]
+    return jnp.einsum(
+        "fpr,fqr->fpq", rows, wu, preferred_element_type=jnp.float32
+    )  # [N, p, p]
 
 
 def _track_level(
@@ -164,6 +179,7 @@ def _track_level(
     iters: int,
     eps: float,
     min_eig_threshold: float,
+    drift: int = _DRIFT,
 ) -> tuple[jax.Array, jax.Array]:
     h = img_i.shape[0]
     p = 2 * half_win + 1
@@ -208,16 +224,25 @@ def _track_level(
     inv_det = 1.0 / jnp.where(ok_g, det, 1.0)
 
     # ---- moving image: ONE cached search patch per feature ----
-    g = p + 2 * _DRIFT + 1  # integer patch length covering drift + blend
-    cu = jnp.floor(uv_j[:, 0] - half_win) - _DRIFT
-    cv = jnp.floor(uv_j[:, 1] - half_win) - _DRIFT
+    g = p + 2 * drift + 1  # integer patch length covering drift + blend
+    cu = jnp.floor(uv_j[:, 0] - half_win) - drift
+    cv = jnp.floor(uv_j[:, 1] - half_win) - drift
     jpatch = _gather_int_patches(
         img_j, cv.astype(jnp.int32), jnp.mod(cu.astype(jnp.int32), w), g, w
     )  # [N, g, g]
 
     # ---- synchronized iteration ladder on the cached patches ----
-    def step(carry, _):
-        u, v, active = carry
+    # while_loop with an all-converged early exit instead of a fixed
+    # scan: updates are masked by `active`, so once every feature is
+    # frozen the remaining iterations are the identity — skipping them
+    # is exact, and typical frames converge in 3-5 of the 8 budgeted
+    # iterations per level.
+    def cond(carry):
+        u, v, active, it = carry
+        return (it < iters) & jnp.any(active)
+
+    def step(carry):
+        u, v, active, it = carry
         lu = u - half_win - cu  # patch-local window origin
         lv = v - half_win - cv
         inb = (lu >= 0.0) & (lu <= g - p - 1.0) & (lv >= 0.0) & (lv <= g - p - 1.0)
@@ -231,11 +256,12 @@ def _track_level(
         u = jnp.where(upd, u + du, u)
         v = jnp.where(upd, v + dv, v)
         active = upd & (du * du + dv * dv >= eps * eps)
-        return (u, v, active), None
+        return (u, v, active, it + 1)
 
     active0 = ok_in & ok_g
-    (u_f, v_f, _), _ = jax.lax.scan(
-        step, (uv_j[:, 0], uv_j[:, 1], active0), None, length=iters
+    u_f, v_f, _, _ = jax.lax.while_loop(
+        cond, step,
+        (uv_j[:, 0], uv_j[:, 1], active0, jnp.asarray(0, jnp.int32)),
     )
 
     lu = u_f - half_win - cu
@@ -417,6 +443,11 @@ def _track_impl(
             continue
         im_i, im_j = level_imgs(lvl)
         s = 1.0 / (2.0**lvl)
+        # Below the top level the guess is the level above's converged
+        # estimate (sub-pixel) upsampled by 2, plus inter-level
+        # appearance shift — a 3 px search margin is ample and shrinks
+        # the dominant search-patch gather ~18%. The top level absorbs
+        # the raw inter-frame motion and keeps the full margin.
         uv_l, status, err = _track_level(
             im_i,
             im_j,
@@ -428,6 +459,7 @@ def _track_impl(
             iters,
             eps,
             min_eig_threshold,
+            drift=_DRIFT if lvl == num_levels else 3,
         )
         uv = uv_l / s
 
