@@ -57,6 +57,23 @@ def main(argv: list[str] | None = None) -> int:
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the run into DIR",
     )
+    p.add_argument(
+        "--lk-backend", default=None,
+        choices=["auto", "xla", "matmul", "pallas"],
+        help="LK tracking kernel (default: config / auto)",
+    )
+    p.add_argument(
+        "--solver-backend", default=None,
+        choices=["auto", "xla", "pallas", "pallas-interpret"],
+        help="PnP/BA solver kernel; pallas-interpret runs the TPU "
+        "Pallas megakernels through the interpreter on CPU",
+    )
+    p.add_argument(
+        "--mesh", default=None, metavar="AXIS=N",
+        help="distribute the window BA over a device mesh, e.g. lm=8 "
+        "shards the landmark axis over 8 devices (distributed VIO; "
+        "requires that many JAX devices)",
+    )
     args = p.parse_args(argv)
 
     if not os.path.isdir(args.dataset_dir):
@@ -85,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfgmod.load_yaml(args.config)
     else:
         cfg = cfgmod.VioConfig()
+    import dataclasses as _dc
+
+    if args.lk_backend:
+        cfg = _dc.replace(
+            cfg, optical_flow=_dc.replace(cfg.optical_flow, backend=args.lk_backend)
+        )
+    if args.solver_backend:
+        cfg = _dc.replace(
+            cfg, solver=_dc.replace(cfg.solver, backend=args.solver_backend)
+        )
 
     data = ds.VioDataset(args.dataset_dir, image_size=(cfg.camera.width, cfg.camera.height))
     n = len(data)

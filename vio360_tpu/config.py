@@ -115,6 +115,23 @@ class WindowConfig:
     viba_inertial_weight: float = 1.0
     viba_bg_prior_weight: float = 50.0
     viba_ba_prior_weight: float = 50.0
+    # Periodic inertial-only scale/gravity refinement passes after IMU
+    # init (estimator._refine_scale_gravity) — capability beyond the
+    # reference's run-once init (Estimator.cpp:800-803).
+    max_scale_refines: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Nonlinear-solver kernel selection (PnP + window BA).
+
+    ``backend``: "auto" picks the Pallas LM megakernel on TPU and the
+    XLA formulation elsewhere; "xla" / "pallas" force; and
+    "pallas-interpret" runs the TPU Pallas kernels through the Pallas
+    interpreter on CPU — bit-for-bit the production kernel logic,
+    executable anywhere (used by the parity eval to score the shipped
+    TPU code path without a TPU)."""
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +177,7 @@ class VioConfig:
     tracking: TrackingConfig = TrackingConfig()
     init: InitializationConfig = InitializationConfig()
     window: WindowConfig = WindowConfig()
+    solver: SolverConfig = SolverConfig()
     imu: ImuConfig = ImuConfig()
     viz: VisualizationConfig = VisualizationConfig()
     # T_BC: camera-to-body extrinsics (4x4 row-major tuple-of-tuples so the
@@ -187,10 +205,13 @@ def load_yaml(path: str) -> VioConfig:
     """Ingest a reference-format YAML config (config/default_config.yaml).
 
     Handles the OpenCV ``%YAML:1.0`` header that standard parsers reject.
-    Values absent from the file keep the dataclass defaults; like the
-    reference runtime, LK window / RANSAC threshold stay at the
-    code-hardcoded values unless explicitly overridden via
-    ``trust_yaml_tracker_params``.
+    Values absent from the file keep the dataclass defaults. Like the
+    reference runtime, the YAML ``optical_flow``/``ransac`` sections are
+    deliberately NOT read: the reference tracker hardcodes its LK window
+    and RANSAC threshold and never consults those sections
+    (FeatureTracker.cpp:33-38), so ingesting them would change behavior
+    vs the reference on its own config files. Override via the
+    ``OpticalFlowConfig``/``RansacConfig`` dataclasses directly instead.
     """
     import yaml  # lazy; PyYAML ships with the baked-in deps
 

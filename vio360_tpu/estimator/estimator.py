@@ -392,6 +392,7 @@ class Estimator:
         self.win, ba_res = window.window_ba(
             self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
             cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+            backend=cfg.solver.backend,
         )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
@@ -454,6 +455,7 @@ class Estimator:
                     rounds=cfg.window.pnp_rounds,
                     max_iterations=cfg.window.max_lm_iterations,
                     min_inliers=cfg.window.pnp_min_inliers,
+                    backend=cfg.solver.backend,
                 )
                 if bool(pr.success):
                     r_i, t_i = pr.r_wb, pr.t_wb
@@ -469,6 +471,7 @@ class Estimator:
         self.win, _ = window.window_ba(
             self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
             max_iterations=cfg.window.max_lm_iterations,
+            backend=cfg.solver.backend,
         )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
@@ -586,6 +589,7 @@ class Estimator:
                 rounds=cfg.window.pnp_rounds,
                 max_iterations=cfg.window.max_lm_iterations,
                 min_inliers=cfg.window.pnp_min_inliers,
+                backend=cfg.solver.backend,
             )
             pnp_ok = bool(res.success)
         if pnp_ok:
@@ -686,6 +690,7 @@ class Estimator:
                 self.win, ba_res = window.window_ba(
                     self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
                     cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+                    backend=cfg.solver.backend,
                 )
             ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
         # Feed the BA bad-marking back into the tracker before
@@ -724,7 +729,7 @@ class Estimator:
             ba_inliers=ba_inl,
         )
 
-    def _refine_scale_gravity(self, diag, max_refines: int = 12):
+    def _refine_scale_gravity(self, diag):
         """Periodic inertial-only re-estimation of scale + gravity on the
         (already metric) window — each pass should return s ~ 1; residual
         corrections are applied while the map matures. New capability vs
@@ -732,7 +737,7 @@ class Estimator:
         Estimator.cpp:800-803); standard practice since ORB-SLAM3's
         staged inertial optimizations."""
         cfg = self.cfg
-        if self.scale_refine_count >= max_refines:
+        if self.scale_refine_count >= cfg.window.max_scale_refines:
             return
         k = int(self.win.n_kf)
         if k < 3 or len(self.kf_preints) != k - 1:

@@ -290,6 +290,7 @@ def window_ba(
     huber_delta: float = 1.0,
     chi2_threshold: float = 5.991,
     max_iterations: int = 50,
+    backend: str = "auto",
 ) -> tuple[WindowState, ba_mod.BaResult]:
     """Local BA over the window (Optimizer::RunLocalBA semantics):
     fix the oldest keyframe + marginalized landmarks, boundary-filtered
@@ -322,6 +323,7 @@ def window_ba(
         huber_delta=huber_delta,
         chi2_threshold=chi2_threshold,
         max_iterations=max_iterations,
+        backend=backend,
     )
     win = dataclasses.replace(
         win,

@@ -151,17 +151,19 @@ def _sample_in_patch(patch: jax.Array, lu: jax.Array, lv: jax.Array, p: int) -> 
     """Sample [N, p, p] windows at patch-local fractional origin
     (lu, lv) from [N, g, g] patches: two batched small einsums.
 
-    bf16 operands, f32 accumulation: the ladder is memory-bound on
-    these [N, p, g] intermediates; the bilinear weights carry <=11
-    significant bits anyway (two complementary fractions), and patch
-    values are on the bf16 grid from the gather stage.
+    Precision: unlike the gather stages (one-hot SELECTION, where bf16
+    is lossless), these weights are a bilinear BLEND — bf16 weights
+    shift the effective sample position and bf16 accumulation of the
+    first einsum re-quantizes the blended intermediate every LK
+    iteration, which was measured to move tracked positions by up to
+    0.154 px (3x the 0.05 px equivalence bound vs track_xla). Weights
+    and accumulation therefore stay f32.
     """
     g = patch.shape[1]
-    bf = jnp.bfloat16
-    wv = _frac_weights(lv, p, g).astype(bf)  # [N, p, g]
-    wu = _frac_weights(lu, p, g).astype(bf)  # [N, p, g]
+    wv = _frac_weights(lv, p, g)  # [N, p, g] f32
+    wu = _frac_weights(lu, p, g)  # [N, p, g] f32
     rows = jnp.einsum(
-        "fpg,fgr->fpr", wv, patch.astype(bf), preferred_element_type=bf
+        "fpg,fgr->fpr", wv, patch, preferred_element_type=jnp.float32
     )  # [N, p, g]
     return jnp.einsum(
         "fpr,fqr->fpq", rows, wu, preferred_element_type=jnp.float32
@@ -180,7 +182,7 @@ def _track_level(
     eps: float,
     min_eig_threshold: float,
     drift: int = _DRIFT,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     h = img_i.shape[0]
     p = 2 * half_win + 1
     npix = float(p * p)
@@ -438,6 +440,16 @@ def _track_impl(
     status = valid_in
     err = jnp.zeros(uv_prev.shape[0], jnp.float32)
 
+    # The topmost level actually PROCESSED absorbs the raw inter-frame
+    # motion and needs the full drift margin; deeper levels only refine
+    # a sub-pixel upsampled guess. Tiny images can skip the nominal top
+    # level (rows < half_win), so key the margin on the topmost
+    # non-skipped level, not on lvl == num_levels.
+    top_lvl = max(
+        (l for l in range(num_levels + 1) if level_shapes[l][0] >= half_win),
+        default=0,
+    )
+
     for lvl in range(num_levels, -1, -1):
         if level_shapes[lvl][0] < half_win:
             continue
@@ -459,7 +471,7 @@ def _track_impl(
             iters,
             eps,
             min_eig_threshold,
-            drift=_DRIFT if lvl == num_levels else 3,
+            drift=_DRIFT if lvl == top_lvl else 3,
         )
         uv = uv_l / s
 

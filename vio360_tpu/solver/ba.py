@@ -64,7 +64,9 @@ def _evaluate(r_wb, t_wb, points, obs, mask, r_cb, t_cb, width, height, inv_sigm
 def resolve_backend(backend: str = "auto") -> str:
     """'auto': the Pallas LM-iteration megakernel on TPU (~30x faster
     per iteration than the XLA formulation — per-fusion fixed costs
-    dominate at this problem size), XLA elsewhere."""
+    dominate at this problem size), XLA elsewhere. 'pallas-interpret'
+    runs the Pallas kernel via the interpreter (production kernel
+    logic, executable on CPU)."""
     if backend == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
@@ -91,12 +93,14 @@ def run_ba(
 ) -> BaResult:
     """Windowed BA dispatcher — see ``run_ba_xla`` for the contract."""
     m = obs_mask.shape[1]
-    if resolve_backend(backend) == "pallas" and m % 128 == 0:
+    resolved = resolve_backend(backend)
+    if resolved in ("pallas", "pallas-interpret") and m % 128 == 0:
         return run_ba_pallas(
             r_wb, t_wb, points, obs_uv, obs_mask, fixed_pose, fixed_point,
             marginalized, r_cb, t_cb, width, height,
             pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
             chi2_threshold=chi2_threshold, max_iterations=max_iterations,
+            interpret=resolved == "pallas-interpret",
         )
     return run_ba_xla(
         r_wb, t_wb, points, obs_uv, obs_mask, fixed_pose, fixed_point,

@@ -49,6 +49,9 @@ def _evaluate(r_wb, t_wb, points, obs, active, r_cb, t_cb, width, height, inv_si
 
 
 def resolve_backend(backend: str = "auto") -> str:
+    """'auto' -> Pallas megakernel on TPU, XLA elsewhere.
+    'pallas-interpret' runs the Pallas kernel via the interpreter
+    (production kernel logic, executable on CPU)."""
     if backend == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
@@ -75,16 +78,20 @@ def solve_pnp(
 ) -> PnpResult:
     """PnP dispatcher — see ``solve_pnp_xla`` for the contract."""
     n = points_w.shape[0]
-    if resolve_backend(backend) == "pallas" and n % 128 == 0:
+    resolved = resolve_backend(backend)
+    kw = dict(
+        pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
+        chi2_threshold=chi2_threshold, rounds=rounds,
+        max_iterations=max_iterations, min_inliers=min_inliers,
+    )
+    if resolved in ("pallas", "pallas-interpret") and n % 128 == 0:
         fn = solve_pnp_pallas
+        kw["interpret"] = resolved == "pallas-interpret"
     else:
         fn = solve_pnp_xla
     return fn(
         r_wb_init, t_wb_init, points_w, obs_uv, active, marginalized,
-        r_cb, t_cb, width, height,
-        pixel_noise_std=pixel_noise_std, huber_delta=huber_delta,
-        chi2_threshold=chi2_threshold, rounds=rounds,
-        max_iterations=max_iterations, min_inliers=min_inliers,
+        r_cb, t_cb, width, height, **kw,
     )
 
 
