@@ -103,12 +103,77 @@ def bench_frame_step():
     return dt * 1e3
 
 
+def bench_frame_step_device():
+    """TRUE device time of the frame step, separated from the tunnel
+    relay's ~1-1.5 ms per-execution overhead (measured; SCALING.md §1):
+    run the step N times inside one jit (data-dependent chain) and take
+    the slope between N=1 and N=17. On a local (non-tunneled) TPU the
+    external and device numbers coincide."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    rest = args[2:]
+
+    def chain(n, img_a, img_b):
+        def body(i, ab):
+            a, b = ab
+            r_wb, t_wb, uv_new, status, n_inl = fn(a, b, *rest)
+            # feed a tiny function of the outputs back into the next
+            # frame so XLA cannot hoist the step out of the loop
+            b2 = b + (t_wb[0] + jnp.mean(uv_new) * 1e-9) * 1e-6
+            return (b, b2)
+
+        return jax.lax.fori_loop(0, n, body, (img_a, img_b))
+
+    times = {}
+    for n in (1, 17):
+        f = jax.jit(functools.partial(chain, n))
+        dt = time_fn(f, [(args[0], args[1])], warmup=2, iters=6)
+        times[n] = dt
+    return (times[17] - times[1]) / 16 * 1e3
+
+
+def bench_weak_scaling():
+    """Device-count weak scaling: frames/s per stream with one stream
+    per device at N=1 vs N=2 virtual CPU devices (the largest genuine
+    parallel step on this 2-core host; SCALING.md §2). The serving
+    program is collective-free (asserted by
+    test_multi_seq.py::test_no_collectives_in_hlo), so this measures
+    the actual device-scaling axis of BASELINE's >=80% target."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = {
+        **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+        "JAX_PLATFORMS": "cpu",
+    }
+    fps = {}
+    for n in (1, 2):
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "bench_weak_scaling.py"), str(n)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        try:
+            fps[n] = json.loads(r.stdout.strip().splitlines()[-1])["fps_per_stream"]
+        except Exception:
+            return None, None
+    return fps, fps[2] / fps[1]
+
+
 def bench_multi_stream(batches=(1, 8)):
     """Frames/s serving B independent camera streams on ONE chip via the
-    multi_seq sharded frame step (BASELINE.md: >=80% frames/s scaling
-    efficiency). On one device the seq axis is occupancy scaling: the
-    efficiency number reports how close B streams come to B x the
-    single-stream throughput."""
+    multi_seq sharded frame step. NOTE (SCALING.md §1): on one device
+    this is an OCCUPANCY metric — one stream's LK workload already
+    saturates the chip, so B-stream throughput is bounded by hardware,
+    not by the program. The BASELINE >=80% scaling target is the
+    device-count axis (bench_weak_scaling), not this."""
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +195,7 @@ def bench_multi_stream(batches=(1, 8)):
             ip = jnp.asarray(np.roll(np.asarray(args[0]), 3 * i, axis=1))
             inx = jnp.asarray(np.roll(np.asarray(args[1]), 3 * i, axis=1))
             argsets.append(
-                (tile(ip), tile(inx), *[tile(a) for a in args[2:8]], *args[8:])
+                (tile(ip), tile(inx), *[tile(a) for a in args[2:9]], *args[9:])
             )
         dt = time_fn(step, argsets, warmup=2, iters=8)
         out[b] = b / dt  # frames/s across all streams
@@ -184,9 +249,15 @@ def main():
     dev = jax.devices()[0]
     ba_ms, ba_iters = bench_window_ba()
     frame_ms = bench_frame_step()
+    frame_dev_ms = bench_frame_step_device()
     streams, eff = bench_multi_stream()
+    ws_fps, ws_eff = bench_weak_scaling()
     acc = bench_accuracy()
     target_ms = 5.0
+    # Per-stream batching cost: time/stream at B=8 over the direct
+    # unbatched step (1.0 = batching is free; chip saturated by one
+    # stream; SCALING.md §1).
+    per_stream_b8_ms = 8.0 / streams[8] * 1e3
     rec = {
         "metric": "sliding_window_ba_latency",
         "value": round(ba_ms, 3),
@@ -194,12 +265,19 @@ def main():
         "vs_baseline": round(target_ms / ba_ms, 3),
         "ba_lm_iterations": ba_iters,
         "frontend_pnp_step_ms": round(frame_ms, 3),
+        "frontend_pnp_step_device_ms": round(frame_dev_ms, 3),
         "vo_fps_upper_bound": round(1e3 / (frame_ms + ba_ms / 5.0), 1),
         "multi_stream_fps": {str(b): round(v, 1) for b, v in streams.items()},
-        "multi_stream_efficiency": round(eff, 3),
+        "single_chip_occupancy_eff": round(eff, 3),
+        "single_chip_batching_cost": round(per_stream_b8_ms / frame_ms, 3),
         "device": str(dev),
         "platform": dev.platform,
     }
+    if ws_eff is not None:
+        rec["weak_scaling_fps_per_stream"] = {
+            str(n): round(v, 2) for n, v in ws_fps.items()
+        }
+        rec["device_scaling_efficiency_2dev"] = round(ws_eff, 3)
     if acc:
         rec["ate_rmse_se3"] = round(acc["ate_rmse_se3"], 4)
         rec["scale_error"] = round(acc["scale_error"], 4)

@@ -1,0 +1,106 @@
+"""Landmark-sharded VIBA == single-device VIBA (parallel/dist_viba.py).
+
+Runs on the virtual 8-device CPU mesh from conftest (SURVEY.md §4 (4)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vio360_tpu.geometry import camera as cam
+from vio360_tpu.imu import preintegration as pre
+from vio360_tpu.parallel import dist_viba, mesh as mesh_mod
+from vio360_tpu.solver import viba as viba_mod
+
+W, H = 480, 240
+
+
+def make_problem(k=6, m=256, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.uniform(-4, 4, (m, 3)) + np.array([0, 0, 6.0]), jnp.float32)
+    rs = jnp.broadcast_to(jnp.eye(3), (k, 3, 3)).copy()
+    ts = jnp.asarray(np.cumsum(rng.uniform(-0.04, 0.05, (k, 3)), 0), jnp.float32)
+    p_c = pts[None] - ts[:, None]
+    uv = cam.project(p_c, W, H)
+    uv = uv + jnp.asarray(rng.standard_normal(uv.shape) * 0.4, jnp.float32)
+    mask = jnp.asarray(rng.random((k, m)) < 0.7)
+    fixed_pose = jnp.zeros(k, bool).at[0].set(True)
+    fixed_point = jnp.zeros(m, bool)
+    marg = jnp.zeros(m, bool)
+    vel = jnp.asarray(rng.standard_normal((k, 3)) * 0.1, jnp.float32)
+    bg = jnp.zeros(3)
+    ba = jnp.zeros(3)
+    gravity = jnp.array([0.0, 0.0, -9.81])
+
+    # Synthetic preintegrations between consecutive keyframes: integrate
+    # a constant-rate gyro/accel stream per pair.
+    preints = []
+    dt_pair = 0.1
+    for i in range(k - 1):
+        n_s = 8
+        tgrid = np.linspace(0, dt_pair, n_s, endpoint=False)
+        rows = np.zeros((n_s, 7), np.float32)
+        rows[:, 0] = tgrid
+        rows[:, 1:4] = rng.standard_normal(3) * 0.2 + np.array([0, 0, 9.81])
+        rows[:, 4:7] = rng.standard_normal(3) * 0.02
+        preints.append(
+            pre.preintegrate(
+                jnp.asarray(rows), jnp.ones(n_s, bool), jnp.zeros(3), jnp.zeros(3),
+            )
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+    pair_valid = jnp.ones(k - 1, bool)
+    return (
+        rs, ts, vel, bg, ba, pts, uv, mask, fixed_pose, fixed_point, marg,
+        stacked, pair_valid, gravity, jnp.eye(3), jnp.zeros(3),
+    )
+
+
+def test_dist_viba_matches_single_device():
+    # 8 LM iterations: enough to converge the window while keeping the
+    # f32 psum-reduction-order divergence in accept/reject decisions
+    # below the comparison tolerance (measured: 7e-6 max pose delta at
+    # 8 iters; by 12 iters near-convergence chaos on the flat
+    # bias/gauge directions can flip an LM accept and drift 1e-2).
+    args = make_problem()
+    single = viba_mod.run_viba(*args, width=W, height=H, max_iterations=8)
+
+    msh = mesh_mod.make_mesh(n_seq=1, n_lm=8)
+    fn = dist_viba.make_dist_viba(msh, W, H, max_iterations=8)
+    dist = fn(*args)
+
+    np.testing.assert_allclose(
+        np.asarray(dist.t_wb), np.asarray(single.t_wb), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.r_wb), np.asarray(single.r_wb), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.vel), np.asarray(single.vel), atol=5e-4
+    )
+    # Landmarks: the damped V^-1 back-substitution amplifies psum
+    # reduction-order noise (~1e-8 in dx) by the V-block condition
+    # number — measured 6e-4 point drift after ONE identical-path
+    # iteration on weakly-observed landmarks, without moving the cost.
+    # Assert agreement where it is numerically meaningful: the bulk of
+    # the map (median), the well-conditioned landmarks (>=6
+    # observations), and the total cost.
+    obs_count = np.asarray(jnp.sum(args[7], axis=0))
+    dp = np.abs(np.asarray(dist.points) - np.asarray(single.points)).max(axis=1)
+    assert float(np.median(dp)) < 1e-3, float(np.median(dp))
+    well = obs_count >= 6
+    assert well.sum() > 20
+    assert float(dp[well].max()) < 5e-2, float(dp[well].max())
+    np.testing.assert_allclose(
+        float(dist.final_cost), float(single.final_cost), rtol=1e-3
+    )
+    assert int(dist.num_inliers) == int(single.num_inliers)
+
+
+def test_dist_viba_improves_cost():
+    args = make_problem(seed=3)
+    msh = mesh_mod.make_mesh(n_seq=1, n_lm=8)
+    fn = dist_viba.make_dist_viba(msh, W, H, max_iterations=12)
+    res = fn(*args)
+    assert float(res.final_cost) < float(res.initial_cost)
+    assert np.isfinite(float(res.final_cost))

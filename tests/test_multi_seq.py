@@ -39,8 +39,10 @@ def build_batch(b=8, seed=0):
         r0s.append(np.eye(3, dtype=np.float32))
         t0s.append(np.zeros(3, np.float32))
     to = lambda x: jnp.asarray(np.stack(x))
+    uv_b = to(uvs).astype(jnp.float32)
     return (
-        to(imgs_p), to(imgs_n), to(uvs).astype(jnp.float32), to(valids),
+        to(imgs_p), to(imgs_n), uv_b, to(valids),
+        uv_b,  # uv_guess: no prediction in this test
         to(pts_all), jnp.zeros((b, CAP), bool), to(r0s), to(t0s),
     )
 
@@ -84,7 +86,10 @@ def test_no_collectives_in_hlo(batch):
     mesh = multi_seq.make_seq_mesh()
     fn = multi_seq.make_multi_seq_frame_step(mesh, W, H)
     hlo = fn.lower(*batch, jnp.eye(3), jnp.zeros(3)).compile().as_text()
-    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all"):
+    for op in (
+        "all-reduce", "all-gather", "collective-permute", "all-to-all",
+        "reduce-scatter",
+    ):
         assert op not in hlo, op
 
 

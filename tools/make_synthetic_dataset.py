@@ -90,6 +90,13 @@ def main(argv=None) -> int:
     p.add_argument("--outlier-points", type=int, default=0,
                    help="number of landmarks that move in the world")
     p.add_argument("--outlier-speed", type=float, default=0.5, help="m/s")
+    p.add_argument("--texture", action="store_true",
+                   help="render dense natural-spectrum texture (camera "
+                   "inside a texture-mapped sphere, true parallax) "
+                   "instead of Gaussian blobs — the regime real 360 "
+                   "footage puts the KLT front end in")
+    p.add_argument("--texture-radius", type=float, default=6.0,
+                   help="texture sphere radius in metres")
     args = p.parse_args(argv)
 
     import jax
@@ -165,11 +172,27 @@ def main(argv=None) -> int:
     with open(os.path.join(args.out_dir, "cam_timestamps.txt"), "w") as f:
         f.write("\n".join(f"{t:.6f}" for t in stamps) + "\n")
 
-    for k, fi in enumerate(frame_idx):
-        pts_t = pts + out_vel * ts[fi]
-        img = np.asarray(
-            synthetic.render_point_image(pts_t, r_wb[fi], p_w[fi], args.width, args.height)
+    pano = None
+    if args.texture:
+        # 2x the frame resolution keeps texture gradients sharp after
+        # the renderer's bilinear resampling.
+        pano = synthetic.make_panorama(
+            args.seed + 77, 2 * args.height, 2 * args.width, octaves=6
         )
+
+    for k, fi in enumerate(frame_idx):
+        if args.texture:
+            img = np.asarray(
+                synthetic.render_textured_view(
+                    pano, jnp.asarray(r_wb[fi]), jnp.asarray(p_w[fi], jnp.float32),
+                    args.width, args.height, radius=args.texture_radius,
+                )
+            )
+        else:
+            pts_t = pts + out_vel * ts[fi]
+            img = np.asarray(
+                synthetic.render_point_image(pts_t, r_wb[fi], p_w[fi], args.width, args.height)
+            )
         if args.pixel_noise > 0:
             img = np.clip(
                 img + rng.standard_normal(img.shape).astype(np.float32) * args.pixel_noise,

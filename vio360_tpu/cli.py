@@ -112,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = _dc.replace(
             cfg, solver=_dc.replace(cfg.solver, backend=args.solver_backend)
         )
+    if args.mesh:
+        cfg = _dc.replace(cfg, solver=_dc.replace(cfg.solver, mesh=args.mesh))
 
     data = ds.VioDataset(args.dataset_dir, image_size=(cfg.camera.width, cfg.camera.height))
     n = len(data)

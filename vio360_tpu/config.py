@@ -54,6 +54,14 @@ class OpticalFlowConfig:
     # LK kernel backend: "auto" picks the Pallas VMEM-resident kernel on
     # TPU and the pure-XLA gather path elsewhere; "pallas"/"xla" force.
     backend: str = "auto"
+    # Seed LK with the rotation-predicted flow (IMU gyro propagation or
+    # constant-velocity model, Estimator.cpp:318-334/429-471, applied
+    # through the ERP projection). The iteration ladder then converges
+    # in ~1 step at the upper pyramid levels (masked early exit), and
+    # fast yaw no longer outruns the top level's search margin. The
+    # reference tracks from the previous position only
+    # (FeatureTracker.cpp:238); this is a capability on top.
+    use_rotation_guess: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +130,28 @@ class WindowConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Keyframe pose graph over evicted-window constraints
+    (solver/pose_graph.py). New capability vs the reference, whose
+    sliding window forgets everything older than 10 keyframes
+    (Estimator.cpp:692-754); SURVEY.md §7 stage 8.
+
+    Weights are diagonal sqrt-information entries (1/sigma): visual
+    relatives from BA-refined poses are trusted most; skip (i, i+2)
+    relatives add rigidity; IMU odometry edges are weaker (velocity +
+    gravity enter the translation prediction)."""
+    enabled: bool = True
+    # sqrt-info for (translation m, rotation rad) residual components
+    vis_weight_t: float = 20.0
+    vis_weight_r: float = 100.0
+    skip_weight_t: float = 10.0
+    skip_weight_r: float = 50.0
+    imu_weight_t: float = 4.0
+    imu_weight_r: float = 40.0
+    max_iterations: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Nonlinear-solver kernel selection (PnP + window BA).
 
@@ -130,8 +160,15 @@ class SolverConfig:
     "pallas-interpret" runs the TPU Pallas kernels through the Pallas
     interpreter on CPU — bit-for-bit the production kernel logic,
     executable anywhere (used by the parity eval to score the shipped
-    TPU code path without a TPU)."""
+    TPU code path without a TPU).
+
+    ``mesh``: distribute the window solves over a device mesh, e.g.
+    "lm=8" shards the landmark axis of window BA / VIBA over 8 devices
+    (parallel/dist_window_ba.py, parallel/dist_viba.py); empty =
+    single-device. Requires that many JAX devices and max_landmarks
+    divisible by the axis size."""
     backend: str = "auto"
+    mesh: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +215,7 @@ class VioConfig:
     init: InitializationConfig = InitializationConfig()
     window: WindowConfig = WindowConfig()
     solver: SolverConfig = SolverConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
     imu: ImuConfig = ImuConfig()
     viz: VisualizationConfig = VisualizationConfig()
     # T_BC: camera-to-body extrinsics (4x4 row-major tuple-of-tuples so the

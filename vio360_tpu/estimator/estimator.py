@@ -145,6 +145,41 @@ class Estimator:
         self.r_cb = r_bc.T
         self.t_cb = -(r_bc.T @ self.t_bc[:3, 3])
 
+        # ---- distributed window solvers (--mesh lm=N) ----
+        # BASELINE config #5: the window's landmark axis sharded over a
+        # device mesh; reduced camera system psum'd per LM iteration
+        # (parallel/dist_window_ba.py, parallel/dist_viba.py).
+        self._dist_ba_fn = None
+        self._dist_viba_fn = None
+        if cfg.solver.mesh:
+            axis, _, n_str = cfg.solver.mesh.partition("=")
+            n_dev = int(n_str)
+            if axis != "lm":
+                raise ValueError(f"unsupported mesh axis {axis!r} (only 'lm')")
+            if cfg.window.max_landmarks % n_dev:
+                raise ValueError(
+                    f"max_landmarks {cfg.window.max_landmarks} not divisible "
+                    f"by mesh size {n_dev}"
+                )
+            from ..parallel import dist_viba, dist_window_ba, mesh as mesh_mod
+
+            msh = mesh_mod.make_mesh(n_seq=1, n_lm=n_dev, devices=jax.devices()[:n_dev])
+            self._dist_ba_fn = dist_window_ba.make_dist_window_ba(
+                msh, cfg.camera.width, cfg.camera.height,
+                huber_delta=cfg.window.huber_delta,
+                chi2_threshold=cfg.window.chi2_threshold,
+                max_iterations=cfg.window.max_lm_iterations,
+            )
+            self._dist_viba_fn = dist_viba.make_dist_viba(
+                msh, cfg.camera.width, cfg.camera.height,
+                huber_delta=cfg.window.huber_delta,
+                chi2_threshold=cfg.window.chi2_threshold,
+                max_iterations=cfg.window.viba_max_iterations,
+                inertial_weight=cfg.window.viba_inertial_weight,
+                bg_prior_weight=cfg.window.viba_bg_prior_weight,
+                ba_prior_weight=cfg.window.viba_ba_prior_weight,
+            )
+
         self.initialized = False
         self.frame_id = -1
         self.img_prev: jax.Array | None = None
@@ -170,6 +205,16 @@ class Estimator:
         self.traj_rel: list[tuple[int, np.ndarray, np.ndarray] | None] = []
         self.last_kf_fid = -1
         self.last_kf_capture: tuple[np.ndarray, np.ndarray] | None = None
+
+        # ---- pose-graph store (solver/pose_graph.py) ----
+        # Evicted keyframes leave BA's reach; SE(3) relative edges keep
+        # them connected to the live window so export-time pose-graph
+        # optimization propagates present refinements back through the
+        # history (new vs the reference: Estimator.cpp:692-754 eviction
+        # simply forgets). Nodes are keyframe frame-ids in eviction
+        # order; edges are (fid_i, fid_j, rel_r, rel_t, w_t, w_r).
+        self.pg_nodes: list[int] = []
+        self.pg_edges: list[tuple[int, int, np.ndarray, np.ndarray, float, float]] = []
 
         # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
         self.imu_initialized = False
@@ -258,6 +303,128 @@ class Estimator:
             if fid >= 0:
                 self.kf_pose_log[fid] = (np.asarray(kf_r[i]), np.asarray(kf_t[i]))
 
+    def _record_pose_graph_eviction(self) -> None:
+        """Capture SE(3) relative constraints for the about-to-be-evicted
+        oldest keyframe (window slot 0), before add_keyframe rolls it
+        out: a consecutive relative + a skip relative from the current
+        BA-refined window poses, and (VIO) an IMU preintegration
+        odometry edge (Forster RSS'15 prediction with current bias /
+        gravity / velocity estimates)."""
+        pcfg = self.cfg.pose_graph
+        n = int(self.win.n_kf)
+        if n < 2:
+            return
+        m = min(n, 3)
+        kf_id, kf_r, kf_t, kf_vel, kf_time = jax.device_get((
+            self.win.kf_id[:m], self.win.kf_r[:m], self.win.kf_t[:m],
+            self.win.kf_vel[:m], self.win.kf_time[:m],
+        ))
+        fid0 = int(kf_id[0])
+        if fid0 < 0:
+            return
+        self.pg_nodes.append(fid0)
+
+        def rel(i, j):
+            rr = kf_r[i].T @ kf_r[j]
+            rt = kf_r[i].T @ (kf_t[j] - kf_t[i])
+            return np.asarray(rr, np.float32), np.asarray(rt, np.float32)
+
+        rr, rt = rel(0, 1)
+        self.pg_edges.append(
+            (fid0, int(kf_id[1]), rr, rt, pcfg.vis_weight_t, pcfg.vis_weight_r)
+        )
+        if m >= 3 and int(kf_id[2]) >= 0:
+            rr, rt = rel(0, 2)
+            self.pg_edges.append(
+                (fid0, int(kf_id[2]), rr, rt, pcfg.skip_weight_t, pcfg.skip_weight_r)
+            )
+        if self.imu_initialized and self.kf_preints:
+            # kf_preints[0] preintegrates window pair (0, 1). Bias-correct
+            # the deltas first-order (IMUPreintegrator.cpp:276-308), then
+            # form the SE(3) odometry measurement:
+            #   R_rel = dR_corr,  t_rel = R0^T (v0 dt + 0.5 g dt^2) + dP_corr
+            p0 = jax.device_get(self.kf_preints[0])
+            dbg = np.asarray(self.bg) - np.asarray(p0.bg)
+            dba = np.asarray(self.ba) - np.asarray(p0.ba)
+            dr = np.asarray(p0.delta_r) @ np.asarray(
+                lie.so3_exp(jnp.asarray(np.asarray(p0.j_rg) @ dbg))
+            )
+            dp = np.asarray(p0.delta_p) + np.asarray(p0.j_pg) @ dbg + np.asarray(p0.j_pa) @ dba
+            dt = float(p0.dt_total)
+            if dt > 1e-6:
+                g = np.asarray(self.gravity_w)
+                t_rel = kf_r[0].T @ (kf_vel[0] * dt + 0.5 * g * dt * dt) + dp
+                self.pg_edges.append(
+                    (fid0, int(kf_id[1]), np.asarray(dr, np.float32),
+                     np.asarray(t_rel, np.float32),
+                     pcfg.imu_weight_t, pcfg.imu_weight_r)
+                )
+
+    def optimize_pose_graph(self):
+        """Pose-graph solve over the evicted-keyframe history with the
+        live window pinned at its BA-refined poses (gauge anchors).
+        Refined historical poses are written back into the export log,
+        so non-keyframes re-derive from them too (Frame::GetTwb
+        compose). Returns the PoseGraphResult or None if there is no
+        history yet."""
+        from ..solver import pose_graph as pg_mod
+
+        pcfg = self.cfg.pose_graph
+        if not pcfg.enabled or not self.pg_nodes:
+            return None
+        n = int(self.win.n_kf)
+        win_fids = [
+            int(f) for f in np.asarray(jax.device_get(self.win.kf_id[:n])) if f >= 0
+        ]
+        known = set(self.pg_nodes)
+        nodes = list(self.pg_nodes) + [f for f in win_fids if f not in known]
+        idx = {f: i for i, f in enumerate(nodes)}
+        edges = [e for e in self.pg_edges if e[0] in idx and e[1] in idx]
+        if not edges:
+            return None
+        # Pad to buckets so repeated exports reuse the compiled program.
+        p = len(nodes)
+        c = len(edges)
+        pp = -(-p // 16) * 16
+        pc = -(-c // 64) * 64
+        rs = np.tile(np.eye(3, dtype=np.float32), (pp, 1, 1))
+        ts_ = np.zeros((pp, 3), np.float32)
+        fixed = np.ones(pp, bool)  # padded slots stay fixed
+        for f, i in idx.items():
+            logged = self.kf_pose_log.get(f)
+            if logged is None:
+                return None
+            rs[i], ts_[i] = logged
+            fixed[i] = False
+        for f in win_fids:
+            fixed[idx[f]] = True
+        fixed[idx[nodes[0]]] = True  # world anchor
+        ei = np.zeros(pc, np.int32)
+        ej = np.zeros(pc, np.int32)
+        rel_r = np.tile(np.eye(3, dtype=np.float32), (pc, 1, 1))
+        rel_t = np.zeros((pc, 3), np.float32)
+        w = np.zeros((pc, 6), np.float32)
+        ev = np.zeros(pc, bool)
+        for k, (fi, fj, rr, rt, wt, wr) in enumerate(edges):
+            ei[k], ej[k] = idx[fi], idx[fj]
+            rel_r[k], rel_t[k] = rr, rt
+            w[k, :3] = wt
+            w[k, 3:] = wr
+            ev[k] = True
+        res = pg_mod.optimize_pose_graph(
+            jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(rel_r), jnp.asarray(rel_t), jnp.asarray(w),
+            jnp.asarray(ev), jnp.asarray(fixed),
+            max_iterations=pcfg.max_iterations,
+        )
+        r_out, t_out = jax.device_get((res.r_wb, res.t_wb))
+        for f, i in idx.items():
+            if not fixed[i]:
+                self.kf_pose_log[f] = (
+                    np.asarray(r_out[i]), np.asarray(t_out[i])
+                )
+        return res
+
     def _transform_history(self, r_wg: jax.Array, scale: jax.Array):
         """Re-express the recorded trajectory + current pose in the new
         (gravity-aligned, rescaled) world frame so the export stays in
@@ -278,6 +445,13 @@ class Estimator:
         # similarity; the translation part scales by s.
         self.traj_rel = [
             None if e is None else (e[0], e[1], e[2] * s) for e in self.traj_rel
+        ]
+        # Pose-graph edges are relative too: rotations invariant,
+        # translations scale by s (node initial poses come from
+        # kf_pose_log, transformed above).
+        self.pg_edges = [
+            (fi, fj, rr, rt * s, wt, wr)
+            for (fi, fj, rr, rt, wt, wr) in self.pg_edges
         ]
         if self.last_kf_capture is not None:
             kr, kp = self.last_kf_capture
@@ -315,16 +489,28 @@ class Estimator:
             self._record(timestamp)
             return self._result(timestamp, "bootstrapping", False, 0, 0, {})
 
+        # Pose prediction BEFORE tracking so LK can start from the
+        # rotation-predicted flow (tracker._rotation_guess); the same
+        # prediction then seeds PnP (Estimator.cpp:318-334, 429-471).
+        pred = self._predict_pose() if self.initialized else None
+        r_cc_pred = None
+        if pred is not None and cfg.optical_flow.use_rotation_guess:
+            r_pred, _, _ = pred
+            # R_wc = R_wb R_bc; guess maps prev-cam bearings to cur-cam.
+            r_bc = self.t_bc[:3, :3]
+            r_cc_pred = (r_pred @ r_bc).T @ (self.r_cur @ r_bc)
+
         with self._stage("frontend"):
             self.track, r_rel, tdiag = tracker.track_frame(
-                self.track, self.img_prev, img, jnp.asarray(timestamp), self._next_key(), cfg
+                self.track, self.img_prev, img, jnp.asarray(timestamp),
+                self._next_key(), cfg, r_cc_pred=r_cc_pred,
             )
         self.img_prev = img
         n_tracked = int(tdiag["n_tracked"])
 
         if not self.initialized:
             return self._bootstrap_step(timestamp, n_tracked, tdiag, imu_rows)
-        return self._tracking_step(timestamp, n_tracked, tdiag)
+        return self._tracking_step(timestamp, n_tracked, tdiag, pred)
 
     # ------------------------------------------------------------------
 
@@ -393,6 +579,7 @@ class Estimator:
             self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
             cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
             backend=cfg.solver.backend,
+            dist_fn=self._dist_ba_fn,
         )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
@@ -472,6 +659,7 @@ class Estimator:
             self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
             max_iterations=cfg.window.max_lm_iterations,
             backend=cfg.solver.backend,
+            dist_fn=self._dist_ba_fn,
         )
         i_last = int(self.win.n_kf) - 1
         self.r_cur = self.win.kf_r[i_last]
@@ -549,13 +737,11 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
-    def _tracking_step(self, timestamp, n_tracked, tdiag) -> FrameResult:
+    def _predict_pose(self):
+        """Pose prediction: IMU propagation when initialized
+        (Estimator.cpp:429-471), else constant-velocity
+        (Estimator.cpp:318-334). Returns (r_pred, t_pred, v_pred)."""
         cfg = self.cfg
-        w, h = cfg.camera.width, cfg.camera.height
-
-        # Pose prediction: IMU propagation when initialized
-        # (Estimator.cpp:429-471), else constant-velocity
-        # (Estimator.cpp:318-334).
         v_pred = self.vel_cur
         if self.imu_initialized and len(self.last_imu_rows):
             pf = self._preintegrate(
@@ -573,6 +759,13 @@ class Estimator:
             # (see lie.so3_renormalize — the reference SVD-normalizes
             # every constructed SO3, LieUtils.h:40-44).
             r_pred = lie.so3_renormalize(r_pred)
+        return r_pred, t_pred, v_pred
+
+    def _tracking_step(self, timestamp, n_tracked, tdiag, pred=None) -> FrameResult:
+        cfg = self.cfg
+        w, h = cfg.camera.width, cfg.camera.height
+
+        r_pred, t_pred, v_pred = pred if pred is not None else self._predict_pose()
 
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         points, active, marg = _pnp_inputs(
@@ -641,6 +834,8 @@ class Estimator:
         zeros = jnp.zeros(3)
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         was_full = int(self.win.n_kf) == cfg.window.max_keyframes
+        if was_full and cfg.pose_graph.enabled:
+            self._record_pose_graph_eviction()
         self.win = window.add_keyframe(
             self.win, self.r_cur, self.t_cur, self.vel_cur, self.bg, self.ba,
             jnp.asarray(timestamp, jnp.float32), jnp.asarray(self.frame_id),
@@ -677,6 +872,7 @@ class Estimator:
                     inertial_weight=cfg.window.viba_inertial_weight,
                     bg_prior_weight=cfg.window.viba_bg_prior_weight,
                     ba_prior_weight=cfg.window.viba_ba_prior_weight,
+                    dist_fn=self._dist_viba_fn,
                 )
             new_bg, new_ba = vres.bg, vres.ba
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
@@ -691,6 +887,7 @@ class Estimator:
                     self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
                     cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
                     backend=cfg.solver.backend,
+                    dist_fn=self._dist_ba_fn,
                 )
             ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
         # Feed the BA bad-marking back into the tracker before
@@ -824,6 +1021,11 @@ class Estimator:
         ]
         state["last_kf_fid"] = self.last_kf_fid
         state["last_kf_capture"] = self.last_kf_capture
+        state["pg_nodes"] = list(self.pg_nodes)
+        state["pg_edges"] = [
+            {"i": fi, "j": fj, "r": rr, "t": rt, "wt": wt, "wr": wr}
+            for (fi, fj, rr, rt, wt, wr) in self.pg_edges
+        ]
         return state
 
     def restore_state(self, state: dict) -> None:
@@ -854,6 +1056,12 @@ class Estimator:
             None if cap_kf is None
             else (np.asarray(cap_kf[0]), np.asarray(cap_kf[1]))
         )
+        self.pg_nodes = [int(f) for f in state.get("pg_nodes", [])]
+        self.pg_edges = [
+            (int(e["i"]), int(e["j"]), np.asarray(e["r"]), np.asarray(e["t"]),
+             float(e["wt"]), float(e["wr"]))
+            for e in state.get("pg_edges", [])
+        ]
 
     def save(self, path: str) -> None:
         from ..io import checkpoint as ckpt
@@ -873,7 +1081,10 @@ class Estimator:
     def export_trajectory(self):
         """Trajectory with keyframe entries overridden by their latest
         BA-refined poses (trajectory index == frame id: every processed
-        frame records exactly one entry)."""
+        frame records exactly one entry). When evicted keyframes exist,
+        a pose-graph solve first propagates the live window's refined
+        poses back through the history (solver/pose_graph.py)."""
+        self.optimize_pose_graph()
         ts = np.asarray([t for t, _, _ in self.trajectory])
         rs = np.stack([r for _, r, _ in self.trajectory]) if self.trajectory else np.zeros((0, 3, 3))
         ps = np.stack([p for _, _, p in self.trajectory]) if self.trajectory else np.zeros((0, 3))

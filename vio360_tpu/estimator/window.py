@@ -291,11 +291,13 @@ def window_ba(
     chi2_threshold: float = 5.991,
     max_iterations: int = 50,
     backend: str = "auto",
+    dist_fn=None,
 ) -> tuple[WindowState, ba_mod.BaResult]:
     """Local BA over the window (Optimizer::RunLocalBA semantics):
     fix the oldest keyframe + marginalized landmarks, boundary-filtered
     observations, then write back poses/points and kill newly-bad
-    landmarks."""
+    landmarks. ``dist_fn`` (parallel.dist_window_ba.make_dist_window_ba)
+    replaces the single-device solver with the landmark-sharded one."""
     obs_uv, obs_mask = observations(win)
     obs_mask &= ~cam.is_near_boundary(obs_uv, width, height, boundary_margin)
 
@@ -307,24 +309,30 @@ def window_ba(
     r_cb = r_bc.T
     t_cb = -(r_bc.T @ p_bc)
 
-    res = ba_mod.run_ba(
-        win.kf_r,
-        win.kf_t,
-        win.lm_pos,
-        obs_uv,
-        obs_mask,
-        fixed_pose,
-        fixed_point,
-        win.lm_marg,
-        r_cb,
-        t_cb,
-        width,
-        height,
-        huber_delta=huber_delta,
-        chi2_threshold=chi2_threshold,
-        max_iterations=max_iterations,
-        backend=backend,
-    )
+    if dist_fn is not None:
+        res = dist_fn(
+            win.kf_r, win.kf_t, win.lm_pos, obs_uv, obs_mask,
+            fixed_pose, fixed_point, win.lm_marg, r_cb, t_cb,
+        )
+    else:
+        res = ba_mod.run_ba(
+            win.kf_r,
+            win.kf_t,
+            win.lm_pos,
+            obs_uv,
+            obs_mask,
+            fixed_pose,
+            fixed_point,
+            win.lm_marg,
+            r_cb,
+            t_cb,
+            width,
+            height,
+            huber_delta=huber_delta,
+            chi2_threshold=chi2_threshold,
+            max_iterations=max_iterations,
+            backend=backend,
+        )
     win = dataclasses.replace(
         win,
         # renorm: window rotations survive many solves; keep them on
@@ -354,10 +362,13 @@ def window_viba(
     inertial_weight: float = 1.0,
     bg_prior_weight: float = 50.0,
     ba_prior_weight: float = 50.0,
+    dist_fn=None,
 ) -> tuple[WindowState, viba_mod.VibaResult]:
     """Visual-inertial local BA over the window (the completed
     RunVIBA, Optimizer.cpp:493-724): same gauge/outlier rules as
-    window_ba plus inertial factors between consecutive keyframes."""
+    window_ba plus inertial factors between consecutive keyframes.
+    ``dist_fn`` (parallel.dist_viba.make_dist_viba) replaces the
+    single-device solver with the landmark-sharded one."""
     obs_uv, obs_mask = observations(win)
     obs_mask &= ~cam.is_near_boundary(obs_uv, width, height, boundary_margin)
 
@@ -369,15 +380,22 @@ def window_viba(
     r_cb = r_bc.T
     t_cb = -(r_bc.T @ p_bc)
 
-    res = viba_mod.run_viba(
-        win.kf_r, win.kf_t, win.kf_vel, bg, ba_bias,
-        win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point, win.lm_marg,
-        preints, pair_valid, gravity_w, r_cb, t_cb, width, height,
-        max_iterations=max_iterations,
-        inertial_weight=inertial_weight,
-        bg_prior_weight=bg_prior_weight,
-        ba_prior_weight=ba_prior_weight,
-    )
+    if dist_fn is not None:
+        res = dist_fn(
+            win.kf_r, win.kf_t, win.kf_vel, bg, ba_bias,
+            win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point,
+            win.lm_marg, preints, pair_valid, gravity_w, r_cb, t_cb,
+        )
+    else:
+        res = viba_mod.run_viba(
+            win.kf_r, win.kf_t, win.kf_vel, bg, ba_bias,
+            win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point, win.lm_marg,
+            preints, pair_valid, gravity_w, r_cb, t_cb, width, height,
+            max_iterations=max_iterations,
+            inertial_weight=inertial_weight,
+            bg_prior_weight=bg_prior_weight,
+            ba_prior_weight=ba_prior_weight,
+        )
     win = dataclasses.replace(
         win,
         kf_r=jnp.where(

@@ -114,6 +114,15 @@ def _limit_per_cell(
     return valid & (rank < cap)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _rotation_guess(uv, r_cc, width, height):
+    """Rotation-predicted feature positions: bearings through the
+    predicted camera rotation, reprojected on the ERP chart."""
+    b_prev = cam.pixel_to_bearing(uv, width, height)
+    b_cur = b_prev @ r_cc.T
+    return cam.bearing_to_pixel(b_cur, width, height)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_frame(
     state: TrackState,
@@ -122,11 +131,21 @@ def track_frame(
     timestamp: jax.Array,
     key: jax.Array,
     cfg: VioConfig,
+    r_cc_pred: jax.Array | None = None,
 ) -> tuple[TrackState, jax.Array, dict]:
-    """One front-end step. Returns (new_state, R_prev_to_curr, diag)."""
+    """One front-end step. Returns (new_state, R_prev_to_curr, diag).
+
+    ``r_cc_pred``: optional predicted camera rotation, mapping PREV-
+    camera bearings to CUR-camera bearings (R_wc_cur^T R_wc_prev).
+    When given (and enabled in config), LK starts from the rotation-
+    predicted flow instead of the previous position."""
     c = cfg.camera
     w, h = c.width, c.height
     f = cfg.features
+
+    uv_guess = None
+    if r_cc_pred is not None and cfg.optical_flow.use_rotation_guess:
+        uv_guess = _rotation_guess(state.uv, r_cc_pred, w, h)
 
     # 1. LK track
     uv_new, status, err = lk.track(
@@ -134,6 +153,7 @@ def track_frame(
         img_next,
         state.uv,
         state.valid,
+        uv_guess=uv_guess,
         num_levels=cfg.optical_flow.max_level,
         half_win=cfg.optical_flow.window_size // 2,
         iters=cfg.optical_flow.max_iterations,

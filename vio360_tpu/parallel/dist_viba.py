@@ -1,0 +1,94 @@
+"""Distributed visual-inertial BA: landmark-sharded VIBA.
+
+BASELINE config #5 ("distributed VIO") made runnable: the window's
+landmark axis is sharded over mesh axis ``lm`` exactly as in
+``parallel/dist_ba``, but the solve is the FULL visual-inertial window
+optimization from ``solver/viba.py`` (the completed RunVIBA,
+Optimizer.cpp:493-724) — visual residuals/Jacobians/Schur blocks are
+landmark-local, the reduced camera system + visual cost + inlier count
+are psum'd, and the tiny inertial block (9(K-1) residuals over 9K+6
+parameters, landmark-independent) is computed replicated on every
+device. One psum of a few tens of KB per LM iteration rides the ICI.
+
+Reached from the product via ``--mesh lm=N`` (vio360_tpu.cli);
+equality vs the single-device solve is asserted in
+tests/test_dist_viba.py and by ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # JAX >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..solver import viba as viba_mod
+
+
+def make_dist_viba(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    *,
+    axis: str = "lm",
+    pixel_noise_std: float = 1.0,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
+    max_iterations: int = 20,
+    inertial_weight: float = 1.0,
+    bg_prior_weight: float = 50.0,
+    ba_prior_weight: float = 50.0,
+):
+    """Build a jitted landmark-sharded VIBA solve over ``mesh``.
+
+    Global input shapes match ``solver.viba.run_viba``: poses/vel/bias
+    replicated, points [M,3] / obs [K,M,...] / landmark masks sharded
+    over ``axis`` (M divisible by the axis size). Returns a VibaResult
+    with landmark-axis outputs sharded likewise.
+    """
+    core = functools.partial(
+        viba_mod._run_viba_core,
+        width=width,
+        height=height,
+        pixel_noise_std=pixel_noise_std,
+        huber_delta=huber_delta,
+        chi2_threshold=chi2_threshold,
+        max_iterations=max_iterations,
+        inertial_weight=inertial_weight,
+        bg_prior_weight=bg_prior_weight,
+        ba_prior_weight=ba_prior_weight,
+        axis=axis,
+    )
+
+    lm = P(axis)
+    in_specs = (
+        P(),  # r_wb [K,3,3]
+        P(),  # t_wb
+        P(),  # vel
+        P(),  # bg
+        P(),  # ba_bias
+        lm,  # points [M,3]
+        P(None, axis),  # obs_uv [K,M,2]
+        P(None, axis),  # obs_mask [K,M]
+        P(),  # fixed_pose [K]
+        lm,  # fixed_point [M]
+        lm,  # marginalized [M]
+        P(),  # preints (pytree prefix: every leaf replicated)
+        P(),  # pair_valid
+        P(),  # gravity_w
+        P(),  # r_cb
+        P(),  # t_cb
+    )
+    out_specs = viba_mod.VibaResult(
+        r_wb=P(), t_wb=P(), vel=P(), bg=P(), ba=P(),
+        points=lm, initial_cost=P(), final_cost=P(), num_iterations=P(),
+        outlier_obs=P(None, axis), new_bad=lm, num_inliers=P(),
+    )
+    return jax.jit(
+        shard_map(core, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )

@@ -40,19 +40,21 @@ def make_seq_mesh(devices=None) -> Mesh:
 
 
 def frame_step_single(
-    img_prev, img_next, uv, valid, points, marg, r_wb, t_wb, r_cb, t_cb,
+    img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb, r_cb, t_cb,
     *, width: int, height: int, lk_backend: str = "auto",
     pnp_backend: str = "xla",
 ):
     """One sequence's frame step: LK track then PnP. Unbatched reference
     semantics for the sharded path (and the single-chip hot path).
+    ``uv_guess`` is the rotation-predicted flow seed (the production
+    tracker's _rotation_guess output; pass uv to disable).
 
     ``pnp_backend`` defaults to the XLA formulation: it vmaps into one
     fused batched program, which is the right shape for serving many
     streams (the Pallas megakernel PnP targets single-stream latency).
     """
     uv_new, status, err = lk.track(
-        img_prev, img_next, uv, valid, backend=lk_backend
+        img_prev, img_next, uv, valid, uv_guess=uv_guess, backend=lk_backend
     )
     res = pnp.solve_pnp(
         r_wb, t_wb, points, uv_new, status, marg, r_cb, t_cb,
@@ -72,11 +74,11 @@ def make_multi_seq_frame_step(
 ):
     """Build a jitted frame step over [B, ...] batches sharded on ``axis``.
 
-    Global input shapes: images [B,H,W], uv [B,N,2], valid [B,N],
-    points [B,N,3], marg [B,N], r_wb [B,3,3], t_wb [B,3]; extrinsics
-    r_cb [3,3], t_cb [3] replicated. B must be divisible by the mesh's
-    ``axis`` size. Returns (r_wb, t_wb, success, num_inliers, uv_new,
-    status, err), each sharded like its inputs.
+    Global input shapes: images [B,H,W], uv/uv_guess [B,N,2],
+    valid [B,N], points [B,N,3], marg [B,N], r_wb [B,3,3], t_wb [B,3];
+    extrinsics r_cb [3,3], t_cb [3] replicated. B must be divisible by
+    the mesh's ``axis`` size. Returns (r_wb, t_wb, success,
+    num_inliers, uv_new, status, err), each sharded like its inputs.
     """
     one = functools.partial(
         frame_step_single,
@@ -86,13 +88,13 @@ def make_multi_seq_frame_step(
         pnp_backend=pnp_backend,
     )
 
-    def local_fn(img_prev, img_next, uv, valid, points, marg, r_wb, t_wb, r_cb, t_cb):
+    def local_fn(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb, r_cb, t_cb):
         return jax.vmap(
-            lambda a, b, c, d, e, f, g, h: one(a, b, c, d, e, f, g, h, r_cb, t_cb)
-        )(img_prev, img_next, uv, valid, points, marg, r_wb, t_wb)
+            lambda a, b, c, d, e, f, g, h, i: one(a, b, c, d, e, f, g, h, i, r_cb, t_cb)
+        )(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb)
 
     b_spec = P(axis)
-    in_specs = (b_spec,) * 8 + (P(), P())
+    in_specs = (b_spec,) * 9 + (P(), P())
     out_specs = (b_spec,) * 7
     return jax.jit(
         shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

@@ -164,11 +164,7 @@ def run_ba_pallas(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "max_iterations"),
-)
-def run_ba_xla(
+def _run_ba_xla_core(
     r_wb: jax.Array,  # [K,3,3] initial poses
     t_wb: jax.Array,  # [K,3]
     points: jax.Array,  # [M,3] initial landmarks
@@ -185,13 +181,22 @@ def run_ba_xla(
     huber_delta: float = 1.0,
     chi2_threshold: float = 5.991,
     max_iterations: int = 50,
+    axis: str | None = None,
 ) -> BaResult:
+    """LM loop (see the jitted ``run_ba_xla`` wrapper). With ``axis``,
+    landmark-axis arrays hold this device's shard; the reduced camera
+    system, robust cost and classification counts are psum'd over that
+    mesh axis (parallel/dist_window_ba.py)."""
     inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
     k, m = obs_mask.shape
+
+    def gsum(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
 
     p_b0, p_c0, res0, _, initial_cost = _evaluate(
         r_wb, t_wb, points, obs_uv, obs_mask, r_cb, t_cb, width, height, inv_sigma2, huber_delta
     )
+    initial_cost = gsum(initial_cost)
 
     def lm_cond(carry):
         *_, it, done = carry
@@ -220,6 +225,8 @@ def run_ba_xla(
         w_blk = jnp.einsum("kicm,km,kidm->kcdm", jp, w, jl)  # [K,6,3,M]
         b_p = -jnp.einsum("kicm,km,kim->kc", jp, w, rs_)  # [K,6]
         b_l = -jnp.einsum("kicm,km,kim->cm", jl, w, rs_)  # [3,M]
+        u_blk = gsum(u_blk)
+        b_p = gsum(b_p)
 
         # LM damping on block diagonals
         u_d = u_blk + lam * jnp.eye(6) * jnp.einsum("kcc->k", u_blk)[:, None, None] / 6.0
@@ -237,12 +244,14 @@ def run_ba_xla(
         wv = jnp.einsum("kcdm,dem->kcem", w_blk, v_inv)  # [K,6,3,M]
         a2 = wv.reshape(k * 6, 3 * m)
         b2 = w_blk.reshape(k * 6, 3 * m)
-        s_mat = -(a2 @ b2.T)
+        # The ONLY O(K^2) collectives: the Schur cross-term + rhs
+        # correction (a few tens of KB), as in parallel/dist_ba.
+        s_mat = -gsum(a2 @ b2.T)
         s_mat = s_mat + jnp.einsum("kl,kcf->kclf", jnp.eye(k), u_d).reshape(k * 6, k * 6)
         # Gauge: zero rows/cols of fixed poses, identity diagonal.
         fm = jnp.repeat((~fixed_pose).astype(s_mat.dtype), 6)
         s_mat = s_mat * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
-        rhs = (b_p - jnp.einsum("kcem,em->kc", wv, b_l)).reshape(k * 6) * fm
+        rhs = (b_p - gsum(jnp.einsum("kcem,em->kc", wv, b_l))).reshape(k * 6) * fm
 
         dx = linsolve.solve(s_mat, rhs).reshape(k, 6)
         dx = jnp.where(fixed_pose[:, None], 0.0, dx)
@@ -259,6 +268,7 @@ def run_ba_xla(
             r_new, t_new, pts_new, obs_uv, obs_mask, r_cb, t_cb, width, height,
             inv_sigma2, huber_delta,
         )
+        new_cost = gsum(new_cost)
         accept = new_cost < cost
         r = jnp.where(accept, r_new, r)
         t = jnp.where(accept, t_new, t)
@@ -267,7 +277,7 @@ def run_ba_xla(
         p_c = jnp.where(accept, p_c_n, p_c)
         res = jnp.where(accept, res_n, res)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        step_small = (jnp.sum(dx * dx) + jnp.sum(dl * dl)) < 1e-14
+        step_small = (jnp.sum(dx * dx) + gsum(jnp.sum(dl * dl))) < 1e-14
         rel_drop = (cost - new_cost) < 1e-6 * cost
         # Also stop when the trust region has collapsed (many rejected
         # steps in a row — e.g. the window is already at the optimum).
@@ -275,6 +285,10 @@ def run_ba_xla(
         cost = jnp.where(accept, new_cost, cost)
         return (r, t, pts, p_b, p_c, res, lam, cost, it + 1, done)
 
+    # Initial lam/done inherit initial_cost's varying axes (shard_map's
+    # varying-manual-axes typing rejects invarying->varying carries).
+    lam0 = jnp.asarray(1e-4, jnp.float32) + 0.0 * initial_cost
+    done0 = initial_cost < 0.0  # always False; robust cost is non-negative
     r_fin, t_fin, pts_fin, _, _, _, _, final_cost, iters, _ = jax.lax.while_loop(
         lm_cond,
         lm_body,
@@ -285,24 +299,24 @@ def run_ba_xla(
             p_b0,
             p_c0,
             res0,
-            jnp.asarray(1e-4, jnp.float32),
+            lam0,
             initial_cost,
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
+            done0,
         ),
     )
 
     return _classify(
         r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
         r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,
-        initial_cost, final_cost, iters,
+        initial_cost, final_cost, iters, axis=axis,
     )
 
 
 def _classify(
     r_fin, t_fin, pts_fin, obs_uv, obs_mask, marginalized, fixed_point,
     r_cb, t_cb, width, height, inv_sigma2, huber_delta, chi2_threshold,
-    initial_cost, final_cost, iters,
+    initial_cost, final_cost, iters, axis: str | None = None,
 ) -> BaResult:
     """Post-solve chi2 classification (Optimizer.cpp:419-460)."""
     _, _, _, c2, _ = _evaluate(
@@ -315,15 +329,25 @@ def _classify(
     outl_per_lm = jnp.sum(outlier_obs, axis=0)
     new_bad = (~marginalized) & (~fixed_point) & (inl_per_lm == 0) & (outl_per_lm >= 2)
 
+    n_inl = jnp.sum(inlier_obs).astype(jnp.int32)
+    n_outl = jnp.sum(outlier_obs).astype(jnp.int32)
+    if axis is not None:
+        n_inl = jax.lax.psum(n_inl, axis)
+        n_outl = jax.lax.psum(n_outl, axis)
     return BaResult(
         r_wb=r_fin,
         t_wb=t_fin,
         points=pts_fin,
-        num_inliers=jnp.sum(inlier_obs).astype(jnp.int32),
-        num_outliers=jnp.sum(outlier_obs).astype(jnp.int32),
+        num_inliers=n_inl,
+        num_outliers=n_outl,
         new_bad=new_bad,
         outlier_obs=outlier_obs,
         initial_cost=initial_cost,
         final_cost=final_cost,
         num_iterations=iters,
     )
+
+
+run_ba_xla = functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_iterations")
+)(functools.partial(_run_ba_xla_core, axis=None))

@@ -87,10 +87,7 @@ def _inertial_residuals(
     return jnp.concatenate([one(i) for i in range(k - 1)])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_iterations")
-)
-def run_viba(
+def _run_viba_core(
     r_wb: jax.Array,  # [K,3,3]
     t_wb: jax.Array,  # [K,3]
     vel: jax.Array,  # [K,3]
@@ -120,7 +117,12 @@ def run_viba(
     # prior lets VIBA absorb scale errors into ba (observed on the
     # synthetic e2e VIO run). sigma ~ 0.02 m/s^2 keeps scale observable.
     ba_prior_weight: float = 50.0,
+    axis: str | None = None,
 ) -> VibaResult:
+    """LM loop. With ``axis``, landmark-axis arrays hold this device's
+    shard and the reduced visual system / visual cost / inlier count
+    are psum'd over that mesh axis (parallel/dist_viba.py); the
+    inertial block is landmark-independent and stays replicated."""
     inv_sigma2 = 1.0 / (pixel_noise_std * pixel_noise_std)
     k, m = obs_mask.shape
     n_par = 9 * k + 6
@@ -146,6 +148,8 @@ def run_viba(
 
     def total_cost(r, t, pts, v, bgx, bax):
         *_, cv = vis_eval(r, t, pts)
+        if axis is not None:
+            cv = jax.lax.psum(cv, axis)
         ri = _inertial_residuals(r, t, v, bgx, bax, preints, pair_valid, sqrt_infos, gravity_w)
         ri = _with_prior(ri, bgx, bax)
         return cv + 0.5 * jnp.sum(ri * ri)
@@ -180,6 +184,11 @@ def run_viba(
         s_vis = -s_off
         s_vis = s_vis.at[jnp.arange(k), jnp.arange(k)].add(u_blk)
         rhs_vis = b_p - jnp.einsum("kmce,me->kc", wv, b_l)  # [K,6]
+        if axis is not None:
+            # The ONLY collectives in the LM body: the reduced camera
+            # system + rhs (a few tens of KB), as in parallel/dist_ba.
+            s_vis = jax.lax.psum(s_vis, axis)
+            rhs_vis = jax.lax.psum(rhs_vis, axis)
 
         # ----- inertial part (autodiff over the perturbation) -----
         def inertial_of_delta(delta):
@@ -246,13 +255,15 @@ def run_viba(
         cost = jnp.where(accept, new_cost, cost)
         return (r, t, pts, v, bgx, bax, lam, cost, it + 1, done)
 
+    lam0 = jnp.asarray(1e-4, jnp.float32) + 0.0 * init_cost
+    done0 = init_cost < 0.0  # always False; robust cost is non-negative
     r_f, t_f, pts_f, v_f, bg_f, ba_f, _, final_cost, iters, _ = jax.lax.while_loop(
         lm_cond,
         lm_body,
         (
             r_wb, t_wb, points, vel, bg, ba_bias,
-            jnp.asarray(1e-4, jnp.float32), init_cost,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            lam0, init_cost,
+            jnp.asarray(0, jnp.int32), done0,
         ),
     )
 
@@ -267,6 +278,9 @@ def run_viba(
         & (jnp.sum(outlier_obs, axis=0) >= 2)
     )
 
+    num_inl = jnp.sum(inlier_obs).astype(jnp.int32)
+    if axis is not None:
+        num_inl = jax.lax.psum(num_inl, axis)
     return VibaResult(
         r_wb=r_f,
         t_wb=t_f,
@@ -279,5 +293,11 @@ def run_viba(
         num_iterations=iters,
         outlier_obs=outlier_obs,
         new_bad=new_bad,
-        num_inliers=jnp.sum(inlier_obs).astype(jnp.int32),
+        num_inliers=num_inl,
     )
+
+
+run_viba = functools.partial(jax.jit, static_argnames=(
+    "width", "height", "max_iterations", "pixel_noise_std", "huber_delta",
+    "chi2_threshold", "inertial_weight", "bg_prior_weight", "ba_prior_weight",
+))(functools.partial(_run_viba_core, axis=None))
