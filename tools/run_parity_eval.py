@@ -212,8 +212,16 @@ def write_eval_md(out: dict) -> None:
         "- ATE alignment: sim3 for VO rows (monocular gauge — scale is",
         "  unobservable for both systems), se3 for VIO rows (metric scale is",
         "  part of the job).",
-        "- The reference is monocular-gauge in VO mode (scale unobservable);",
-        "  in VIO mode its IMU init provides metric scale, same as ours.",
+        "- **Read the VIO rows carefully**: the reference's visual-inertial BA",
+        "  is disabled in its own tree ('for debugging',",
+        "  `/root/reference/src/processing/Estimator.cpp:768-786`), so its VIO",
+        "  numbers reflect IMU-init-then-visual-only operation — a known-",
+        "  incomplete mode, not a tuned competitor. The honest accuracy anchor",
+        "  is the reference's VO rows (where both systems run their complete",
+        "  pipelines) plus the fact that this engine ALSO recovers metric",
+        "  scale to a few percent, a capability the reference does not ship",
+        "  working. The VIO-row multipliers quantify that capability gap, not",
+        "  algorithmic superiority on a level field.",
         "- Wall-clock is not compared here: the reference runs on 2 CPU cores,",
         "  vio360_tpu's production path targets TPU (see BENCH_r*.json).",
         "",

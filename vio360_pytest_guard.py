@@ -1,22 +1,70 @@
 """pytest plugin (loaded via ``addopts = -p vio360_pytest_guard``) that
-re-execs the test run in a clean CPU-only environment.
+(1) re-execs the test run in a clean CPU-only environment and
+(2) splits WHOLE-SUITE runs into two sequential pytest processes.
 
-This container pre-sets ``PALLAS_AXON_POOL_IPS`` and a sitecustomize
-that registers the remote-TPU PJRT plugin (with remote compile) in
-every python process at interpreter start; under it, CPU test runs get
-serialized through the TPU relay. Because it acts at interpreter start,
-the only reliable opt-out is to re-exec with the pool env removed.
+(1) This container pre-sets ``PALLAS_AXON_POOL_IPS`` and a
+sitecustomize that registers the remote-TPU PJRT plugin (with remote
+compile) in every python process at interpreter start; under it, CPU
+test runs get serialized through the TPU relay. Because it acts at
+interpreter start, the only reliable opt-out is to re-exec with the
+pool env removed.
+
+(2) Running the ENTIRE suite in one process accumulates ~500 XLA CPU
+compilations and deterministically segfaults inside LLVM ORC JIT
+(``backend_compile_and_load``) near the end — reproduced twice at
+tests/test_pose_graph.py after ~200 prior tests; either alphabetical
+half passes alone, as does one half plus the crash-site module. This
+is an upstream compiler-runtime limit, not a test bug, so whole-suite
+invocations are transparently split into two sequential processes at
+the same boundary that is known-good. Explicit file/test selections
+are never split.
 
 This module is imported by pytest BEFORE its fd-level output capture is
-installed (``-p`` plugins load at parse time), so exec here preserves
-stdout/stderr. tests/conftest.py then sets the virtual 8-device CPU
-platform in the child.
+installed (``-p`` plugins load at parse time), so exec/subprocess here
+stream output normally. tests/conftest.py then sets the virtual
+8-device CPU platform in the child.
 """
 
 import os
+import subprocess
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIO360_TEST_REEXEC"):
+_SPLIT_AT = "test_lie.py"  # first file of the second half
+
+
+def _whole_suite_targets(args):
+    """True iff the positional args select the entire tests/ tree
+    (or nothing, deferring to testpaths=tests in pytest.ini)."""
+    pos = [a for a in args if not a.startswith("-")]
+    if not pos:
+        return True
+    norm = {p.rstrip("/").lstrip("./") for p in pos}
+    return norm <= {"tests"}
+
+
+def _split_and_run(env):
+    here = os.path.dirname(os.path.abspath(__file__))
+    tdir = os.path.join(here, "tests")
+    files = sorted(
+        f for f in os.listdir(tdir) if f.startswith("test_") and f.endswith(".py")
+    )
+    halves = (
+        [os.path.join("tests", f) for f in files if f < _SPLIT_AT],
+        [os.path.join("tests", f) for f in files if f >= _SPLIT_AT],
+    )
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    rc = 0
+    for i, half in enumerate(halves):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", *flags, *half], env=env, cwd=here
+        )
+        rc = rc or r.returncode
+        if r.returncode and "-x" in flags:
+            break
+    sys.exit(rc)
+
+
+if not os.environ.get("_VIO360_TEST_REEXEC"):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
@@ -26,4 +74,6 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIO360_TEST_R
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     sys.stdout.flush()
     sys.stderr.flush()
+    if _whole_suite_targets(sys.argv[1:]):
+        _split_and_run(env)
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
