@@ -105,3 +105,33 @@ def test_no_tracer_leak_across_traces():
 
     assert first(img, img).shape == (64, 2)
     assert second(img, img).shape == (64, 2)
+
+def test_matmul_matches_xla_with_guess():
+    """The production tracker seeds LK from the rotation-predicted flow
+    (frontend/tracker._rotation_guess); with IDENTICAL guess inputs the
+    matmul path must still match the XLA formulation at the same
+    equivalence bound (different guesses legitimately select different
+    local minima on repetitive texture, so inputs must match)."""
+    img0, img1, rng = _textured_pair()
+    h, w = img0.shape
+    n = 256
+    uv = np.stack(
+        [rng.uniform(2, w - 2, n), rng.uniform(30, h - 30, n)], -1
+    ).astype(np.float32)
+    valid = np.ones(n, bool)
+    guess = jnp.asarray(
+        uv + np.array([-1.3, -2.1]) + rng.uniform(-1.0, 1.0, (n, 2)), jnp.float32
+    )
+    uv_x, st_x, _ = lk.track(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(uv),
+        jnp.asarray(valid), uv_guess=guess, backend="xla", iters=8,
+    )
+    uv_m, st_m, _ = lk.track(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(uv),
+        jnp.asarray(valid), uv_guess=guess, backend="matmul",
+    )
+    st_x, st_m = np.asarray(st_x), np.asarray(st_m)
+    assert st_m.sum() >= 0.9 * st_x.sum()
+    both = st_x & st_m
+    d = np.linalg.norm(np.asarray(uv_m) - np.asarray(uv_x), axis=-1)[both]
+    assert d.max() < 0.05, f"max deviation from XLA reference {d.max():.4f} px"
