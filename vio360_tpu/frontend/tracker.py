@@ -144,8 +144,11 @@ def track_frame(
     f = cfg.features
 
     uv_guess = None
+    num_levels = cfg.optical_flow.max_level
     if r_cc_pred is not None and cfg.optical_flow.use_rotation_guess:
         uv_guess = _rotation_guess(state.uv, r_cc_pred, w, h)
+        if cfg.optical_flow.guess_skips_top_level and num_levels >= 2:
+            num_levels -= 1
 
     # 1. LK track
     uv_new, status, err = lk.track(
@@ -154,7 +157,7 @@ def track_frame(
         state.uv,
         state.valid,
         uv_guess=uv_guess,
-        num_levels=cfg.optical_flow.max_level,
+        num_levels=num_levels,
         half_win=cfg.optical_flow.window_size // 2,
         iters=cfg.optical_flow.max_iterations,
         eps=cfg.optical_flow.epsilon,
