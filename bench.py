@@ -254,10 +254,10 @@ def main():
     ws_fps, ws_eff = bench_weak_scaling()
     acc = bench_accuracy()
     target_ms = 5.0
-    # Per-stream batching cost: time/stream at B=8 over the direct
-    # unbatched step (1.0 = batching is free; chip saturated by one
-    # stream; SCALING.md §1).
-    per_stream_b8_ms = 8.0 / streams[8] * 1e3
+    # Per-stream batching cost: chip time per frame at B=8 (total fps
+    # counts all streams) over the direct unbatched step (1.0 =
+    # batching is free; chip saturated by one stream; SCALING.md §1).
+    per_stream_b8_ms = 1e3 / streams[8]
     rec = {
         "metric": "sliding_window_ba_latency",
         "value": round(ba_ms, 3),

@@ -29,6 +29,13 @@ def main() -> int:
     )
     os.environ["OMP_NUM_THREADS"] = "1"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    # Fair weak scaling: give the run exactly ONE physical core per
+    # virtual device, else the N=1 baseline silently uses every core
+    # and the ratio measures core sharing, not program scaling.
+    try:
+        os.sched_setaffinity(0, set(range(min(n, os.cpu_count()))))
+    except (AttributeError, OSError):  # pragma: no cover
+        pass
 
     import jax
     import jax.numpy as jnp
