@@ -212,6 +212,15 @@ def write_eval_md(out: dict) -> None:
         "- ATE alignment: sim3 for VO rows (monocular gauge — scale is",
         "  unobservable for both systems), se3 for VIO rows (metric scale is",
         "  part of the job).",
+        "- The VO-row gap is dominated by the pre-init window: both systems'",
+        "  trajectories are evaluated over ALL frames, and the reference",
+        "  exports placeholder poses for the frames before initialization",
+        "  (~0.4 m mean error there), which drags its whole-trajectory sim3",
+        "  alignment. vio360_tpu backfills those frames by interpolation +",
+        "  per-frame PnP against the fresh map",
+        "  (`estimator._backfill_bootstrap_poses`) — a capability, not a",
+        "  different metric. The reference's own VO accuracy after init is",
+        "  its 10-40-frame segment means (~0.05-0.10 m).",
         "- **Read the VIO rows carefully**: the reference's visual-inertial BA",
         "  is disabled in its own tree ('for debugging',",
         "  `/root/reference/src/processing/Estimator.cpp:768-786`), so its VIO",
