@@ -89,6 +89,16 @@ def make_multi_seq_frame_step(
     )
 
     def local_fn(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb, r_cb, t_cb):
+        if img_prev.shape[0] == 1:
+            # One stream per device (the weak-scaling operating point):
+            # run the UNBATCHED program — the vmapped shape costs ~55%
+            # extra on a single stream (XLA schedules the batched
+            # einsums worse; SCALING.md §1) and buys nothing at B=1.
+            out = one(
+                img_prev[0], img_next[0], uv[0], valid[0], uv_guess[0],
+                points[0], marg[0], r_wb[0], t_wb[0], r_cb, t_cb,
+            )
+            return tuple(o[None] for o in out)
         return jax.vmap(
             lambda a, b, c, d, e, f, g, h, i: one(a, b, c, d, e, f, g, h, i, r_cb, t_cb)
         )(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb)
