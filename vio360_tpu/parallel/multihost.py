@@ -55,8 +55,16 @@ def init_distributed(
         process_id = int(os.environ.get("JAX_PROCESS_ID", "-1"))
     if not coordinator_address or num_processes <= 1:
         return False
-    if jax.process_count() > 1:  # already initialized
-        return True
+    # Must not touch the XLA backend (jax.devices()/process_count())
+    # before initialize — detect an existing cluster via the
+    # distributed global state instead.
+    try:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:  # already initialized
+            return True
+    except ImportError:  # pragma: no cover - private-API drift
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
