@@ -14,9 +14,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
-import pytest
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r'''
@@ -78,7 +75,6 @@ else:
 '''
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_ba():
     port = 20000 + (os.getpid() % 10000)
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
