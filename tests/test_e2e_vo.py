@@ -102,3 +102,26 @@ def test_reset_returns_to_bootstrap(vo_run):
     assert len(est.trajectory) == 0 and int(est.win.n_kf) == 0
     res = est.process_frame(synthetic.render_point_image(pts, rs[0], ts[0], W, H), 0.0)
     assert res.frame_id == 0 and res.state == "bootstrapping"
+
+
+def test_bootstrap_backfill_accuracy(vo_run):
+    """VO-mode bootstrap backfill (_backfill_bootstrap_poses): the
+    pre-init window frames must export with refined poses, not
+    placeholders — their sim3-aligned error should be comparable to the
+    post-init frames' (the placeholder poses were ~5x worse and
+    dominated whole-trajectory ATE; see EVAL.md notes)."""
+    est, results, rs, ts = vo_run
+    init_frame = next(r.frame_id for r in results if r.state == "initialized")
+    ts_, rs_, ps_ = est.export_trajectory()
+    n = len(ps_)
+    import numpy as np
+
+    from vio360_tpu.utils import metrics as m
+
+    s, R, t = m.umeyama_alignment(ps_[:n], ts[:n], with_scale=True)
+    p_al = (s * (R @ ps_[:n].T)).T + t
+    err = np.linalg.norm(p_al - ts[:n], axis=1)
+    pre = err[max(1, init_frame - 6):init_frame]
+    post = err[init_frame:]
+    assert pre.size >= 3
+    assert pre.mean() < 3.0 * max(post.mean(), 1e-3), (pre.mean(), post.mean())

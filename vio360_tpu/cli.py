@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
         "Pallas megakernels through the interpreter on CPU",
     )
     p.add_argument(
+        "--no-pose-graph", action="store_true",
+        help="disable the export-time pose-graph refinement of the "
+        "evicted-keyframe history (solver/pose_graph.py)",
+    )
+    p.add_argument(
         "--mesh", default=None, metavar="AXIS=N",
         help="distribute the window BA over a device mesh, e.g. lm=8 "
         "shards the landmark axis over 8 devices (distributed VIO; "
@@ -114,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.mesh:
         cfg = _dc.replace(cfg, solver=_dc.replace(cfg.solver, mesh=args.mesh))
+    if args.no_pose_graph:
+        cfg = _dc.replace(
+            cfg, pose_graph=_dc.replace(cfg.pose_graph, enabled=False)
+        )
 
     data = ds.VioDataset(args.dataset_dir, image_size=(cfg.camera.width, cfg.camera.height))
     n = len(data)
