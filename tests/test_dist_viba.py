@@ -110,8 +110,6 @@ def test_estimator_builds_and_uses_mesh_solvers():
     """--mesh lm=8 wiring: the estimator constructs the landmark-sharded
     window solvers and window_ba routes through them (full CLI drive
     asserted manually/round-logged; here the wiring + one solve)."""
-    import dataclasses
-
     from vio360_tpu import config as cfgmod
     from vio360_tpu.estimator import window as win_mod
     from vio360_tpu.estimator.estimator import Estimator
@@ -125,7 +123,6 @@ def test_estimator_builds_and_uses_mesh_solvers():
     assert est._dist_ba_fn is not None and est._dist_viba_fn is not None
 
     # Drive one window BA through the dist path on synthetic state.
-    rng = np.random.default_rng(0)
     win = win_mod.empty_window(4, 256, cfg.features.capacity)
     k = 3
     for i in range(k):
