@@ -1,6 +1,7 @@
 """pytest plugin (loaded via ``addopts = -p vio360_pytest_guard``) that
 (1) re-execs the test run in a clean CPU-only environment and
-(2) splits WHOLE-SUITE runs into two sequential pytest processes.
+(2) splits WHOLE-SUITE runs into bounded-size sequential pytest
+processes.
 
 (1) This container pre-sets ``PALLAS_AXON_POOL_IPS`` and a
 sitecustomize that registers the remote-TPU PJRT plugin (with remote
@@ -15,9 +16,18 @@ compilations and deterministically segfaults inside LLVM ORC JIT
 tests/test_pose_graph.py after ~200 prior tests; either alphabetical
 half passes alone, as does one half plus the crash-site module. This
 is an upstream compiler-runtime limit, not a test bug, so whole-suite
-invocations are transparently split into two sequential processes at
-the same boundary that is known-good. Explicit file/test selections
-are never split.
+invocations are transparently split into processes of at most
+``_MAX_FILES_PER_PROC`` test files — the bound holds as the suite
+grows, so adding/renaming test files cannot silently re-create the
+segfaulting process shape. Explicit file/test selections are never
+split.
+
+Repro (for expiry): ``_VIO360_TEST_REEXEC=1 JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest
+tests/`` in ONE process segfaults (rc -11) near the end of the
+alphabetical ordering. Remove this splitting once that command
+completes cleanly on an upgraded jaxlib (the crash is inside LLVM ORC
+``backend_compile_and_load`` after ~500 CPU compilations).
 
 This module is imported by pytest BEFORE its fd-level output capture is
 installed (``-p`` plugins load at parse time), so exec/subprocess here
@@ -29,37 +39,70 @@ import os
 import subprocess
 import sys
 
-_SPLIT_AT = "test_lie.py"  # first file of the second half
+# Known-good process shape: each round-3 half held ~17 files / ~110
+# tests. Keep every child process at or below that scale.
+_MAX_FILES_PER_PROC = 17
+
+# pytest options that consume a SEPARATE value token (so that token is
+# an option value, not a positional test selection).
+_VALUE_FLAGS = {
+    "-k", "-m", "-p", "-o", "-W", "-c", "-n", "-r",
+    "--maxfail", "--durations", "--timeout", "--junitxml", "--junit-xml",
+    "--tb", "--capture", "--basetemp", "--rootdir", "--confcutdir",
+    "--deselect", "--ignore", "--ignore-glob", "--import-mode",
+    "--last-failed-no-failures", "--lf-no-failures", "--result-log",
+    "--log-level", "--log-cli-level", "--log-file", "--color",
+}
 
 
-def _whole_suite_targets(args):
+def _parse_argv(args):
+    """Split pytest argv into (option tokens incl. their values,
+    positional selections) honoring separate-value options, so e.g.
+    ``-k expr`` never makes ``expr`` look like a test path."""
+    opts, pos = [], []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a.startswith("-"):
+            opts.append(a)
+            # `--flag=value` carries its value inline; bare known flags
+            # consume the next token.
+            base = a.split("=", 1)[0]
+            if "=" not in a and base in _VALUE_FLAGS and i + 1 < len(args):
+                opts.append(args[i + 1])
+                i += 1
+        else:
+            pos.append(a)
+        i += 1
+    return opts, pos
+
+
+def _whole_suite_targets(pos):
     """True iff the positional args select the entire tests/ tree
     (or nothing, deferring to testpaths=tests in pytest.ini)."""
-    pos = [a for a in args if not a.startswith("-")]
     if not pos:
         return True
     norm = {p.rstrip("/").lstrip("./") for p in pos}
     return norm <= {"tests"}
 
 
-def _split_and_run(env):
+def _split_and_run(env, opts):
     here = os.path.dirname(os.path.abspath(__file__))
     tdir = os.path.join(here, "tests")
     files = sorted(
         f for f in os.listdir(tdir) if f.startswith("test_") and f.endswith(".py")
     )
-    halves = (
-        [os.path.join("tests", f) for f in files if f < _SPLIT_AT],
-        [os.path.join("tests", f) for f in files if f >= _SPLIT_AT],
-    )
-    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    n_chunks = max(1, -(-len(files) // _MAX_FILES_PER_PROC))
+    size = -(-len(files) // n_chunks)  # balanced chunks
+    chunks = [files[i : i + size] for i in range(0, len(files), size)]
     rc = 0
-    for i, half in enumerate(halves):
+    for chunk in chunks:
+        paths = [os.path.join("tests", f) for f in chunk]
         r = subprocess.run(
-            [sys.executable, "-m", "pytest", *flags, *half], env=env, cwd=here
+            [sys.executable, "-m", "pytest", *opts, *paths], env=env, cwd=here
         )
         rc = rc or r.returncode
-        if r.returncode and "-x" in flags:
+        if r.returncode and ("-x" in opts or "--exitfirst" in opts):
             break
     sys.exit(rc)
 
@@ -74,6 +117,7 @@ if not os.environ.get("_VIO360_TEST_REEXEC"):
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     sys.stdout.flush()
     sys.stderr.flush()
-    if _whole_suite_targets(sys.argv[1:]):
-        _split_and_run(env)
+    opts, pos = _parse_argv(sys.argv[1:])
+    if _whole_suite_targets(pos):
+        _split_and_run(env, opts)
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)

@@ -18,15 +18,7 @@ batched JAX system:
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
-# TPU matmuls default to bf16 inputs; the estimation stack is built on
-# small, ill-conditioned dense systems (inertial Hessians, Schur
-# complements, SO(3) chains) where 8 mantissa bits are NOT enough:
-# measured end-to-end on the real chip, default precision sends VIBA to
-# a 36% worse cost with 4x-off bias estimates and compounds into a 90%
-# metric-scale error over a 30-frame run (CPU reference: 3.5%). True
-# f32 (6-pass) costs nothing at these sizes — the FLOP-heavy kernels
-# (LK one-hot gathers, pyramid operators, Pallas megakernels) manage
-# their own precision explicitly and are unaffected by this default.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# Matmul precision is scoped to the library's own compiled functions
+# (utils/precision.py wraps every jit boundary in float32 matmul
+# precision at trace time) — importing this package does NOT mutate
+# process-global JAX configuration.

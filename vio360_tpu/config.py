@@ -62,14 +62,17 @@ class OpticalFlowConfig:
     # reference tracks from the previous position only
     # (FeatureTracker.cpp:238); this is a capability on top.
     use_rotation_guess: bool = True
-    # With a rotation guess the top pyramid level's job — absorbing the
-    # raw inter-frame motion — is already done by the prediction, so
-    # the tracker drops the deepest level (both backends see the same
-    # level count, preserving the matmul==XLA equivalence contract).
-    # The remaining top level's +-6 px margin at its scale still
-    # absorbs ~24 px of full-resolution prediction error. Measured:
-    # -0.3 ms device time per frame. Set False to always run the full
-    # pyramid.
+    # With a GYRO-propagated rotation guess the top pyramid level's job
+    # — absorbing the raw inter-frame motion — is already done by the
+    # prediction, so the tracker drops the deepest level (both backends
+    # see the same level count, preserving the matmul==XLA equivalence
+    # contract). The remaining top level's +-6 px margin at its scale
+    # still absorbs ~24 px of prediction error, bounded for gyro
+    # propagation. Constant-velocity VO predictions keep the FULL
+    # pyramid regardless (their error is unbounded under rotational
+    # acceleration); the skip only fires when the estimator passes
+    # guess_from_imu=True (IMU initialized). Measured: -0.3 ms device
+    # time per frame. Set False to always run the full pyramid.
     guess_skips_top_level: bool = True
 
 

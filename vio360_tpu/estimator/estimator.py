@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import functools
 import time
 from typing import Any
 
@@ -36,14 +35,14 @@ import numpy as np
 
 from ..config import VioConfig
 from ..frontend import tracker
-from ..geometry import camera as cam_g
 from ..geometry import lie
 from ..imu import preintegration as pre
 from ..solver import imu_init as imu_init_mod
 from ..solver import pnp as pnp_mod
-from ..solver import viba as viba_mod
 from ..utils.logging import StageTimer, get_logger
-from . import initializer, window
+from . import fused, initializer, window
+from .fused import _pnp_inputs, _relabel_tracks
+from ..utils.precision import jit as _pjit
 
 log = get_logger("vio360.estimator")
 
@@ -61,57 +60,7 @@ class FrameResult:
     diag: dict[str, Any]
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def _median_parallax(uv_now, ids_now, valid_now, kf_uv, kf_ids, width):
-    """Median pixel displacement of features shared with a keyframe
-    snapshot (slot-aligned join; Estimator.cpp:616-635)."""
-    shared = valid_now & (ids_now >= 0) & (ids_now == kf_ids)
-    du = cam_g.wrap_residual_u(uv_now[:, 0] - kf_uv[:, 0], width)
-    dv = uv_now[:, 1] - kf_uv[:, 1]
-    par = jnp.sqrt(du * du + dv * dv)
-    return initializer.masked_median(par, shared), jnp.sum(shared)
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height", "margin"))
-def _pnp_inputs(win: window.WindowState, ids, valid, uv, width, height, margin):
-    """Slot-aligned PnP arrays: landmark positions + masks per feature slot."""
-    lm_idx = window.slot_to_landmark(win, ids)
-    has = lm_idx >= 0
-    safe = jnp.clip(lm_idx, 0, win.max_lm - 1)
-    points = win.lm_pos[safe]
-    active = valid & has & ~cam_g.is_near_boundary(uv, width, height, margin)
-    marg = win.lm_marg[safe] & has
-    return points, active, marg
-
-
-@jax.jit
-def _relabel_tracks(track: tracker.TrackState, mask):
-    """Give outlier-latched slots a FRESH feature id.
-
-    This is the SoA equivalent of the reference's per-frame outlier
-    latch (Optimizer.cpp:253-267 SetValid(false)): the next frame's
-    Feature objects default back to valid (Feature.cpp:25), so the
-    persistent effect of the latch is only that map-point LINKING skips
-    the feature (Estimator.cpp:819) and triangulation skips it in the
-    keyframe where it was latched (Estimator.cpp:1159,1192). The 2D
-    track itself stays alive and re-seeds a NEW landmark once two fresh
-    keyframe snapshots carry it. Re-id-ing the slot reproduces exactly
-    that: the id-join to the old landmark and to pre-latch keyframe
-    snapshots breaks, the slot keeps its feature budget.
-
-    (An earlier kill-the-slot version starved the map: each latch storm
-    permanently destroyed tracks and n_shared collapsed.)
-    """
-    mask = mask & track.valid
-    fresh = track.next_id + jnp.cumsum(mask.astype(jnp.int32)) - 1
-    return dataclasses.replace(
-        track,
-        ids=jnp.where(mask, fresh, track.ids),
-        next_id=track.next_id + jnp.sum(mask).astype(jnp.int32),
-    )
-
-
-@jax.jit
+@_pjit
 def _bad_landmark_slots(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad):
     """Tracker slots whose landmark BA just marked bad
     (Optimizer.cpp:446-456 SetBad): joined by feature id so a recycled
@@ -122,7 +71,7 @@ def _bad_landmark_slots(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad)
     return track.ids == bad_id  # only if the slot still holds that feature
 
 
-@jax.jit
+@_pjit
 def _stack_preints(pres: list):
     """One jitted dispatch for the [n_pairs]-stacking (a Python-level
     tree_map of jnp.stack issues ~117 eager ops — each a host->device
@@ -280,8 +229,9 @@ class Estimator:
                 min_dt=icfg.min_dt, max_dt=icfg.max_dt,
             )
 
-    def _record(self, timestamp: float):
-        r, p = np.asarray(self.r_cur), np.asarray(self.t_cur)
+    def _record(self, timestamp: float, r: np.ndarray | None = None, p: np.ndarray | None = None):
+        if r is None:
+            r, p = np.asarray(self.r_cur), np.asarray(self.t_cur)
         self.trajectory.append((timestamp, r, p))
         if self.last_kf_capture is not None:
             kr, kp = self.last_kf_capture
@@ -489,28 +439,25 @@ class Estimator:
             self._record(timestamp)
             return self._result(timestamp, "bootstrapping", False, 0, 0, {})
 
-        # Pose prediction BEFORE tracking so LK can start from the
-        # rotation-predicted flow (tracker._rotation_guess); the same
-        # prediction then seeds PnP (Estimator.cpp:318-334, 429-471).
-        pred = self._predict_pose() if self.initialized else None
-        r_cc_pred = None
-        if pred is not None and cfg.optical_flow.use_rotation_guess:
-            r_pred, _, _ = pred
-            # R_wc = R_wb R_bc; guess maps prev-cam bearings to cur-cam.
-            r_bc = self.t_bc[:3, :3]
-            r_cc_pred = (r_pred @ r_bc).T @ (self.r_cur @ r_bc)
-
-        with self._stage("frontend"):
-            self.track, r_rel, tdiag = tracker.track_frame(
-                self.track, self.img_prev, img, jnp.asarray(timestamp),
-                self._next_key(), cfg, r_cc_pred=r_cc_pred,
-            )
-        self.img_prev = img
-        n_tracked = int(tdiag["n_tracked"])
-
         if not self.initialized:
+            # Bootstrap frames: bare front-end step (no pose prediction
+            # exists yet), host window accumulation + init attempt.
+            with self._stage("frontend"):
+                self.track, _, tdiag = tracker.track_frame(
+                    self.track, self.img_prev, img, jnp.asarray(timestamp),
+                    self._next_key(), cfg,
+                )
+            self.img_prev = img
+            n_tracked = int(tdiag["n_tracked"])
             return self._bootstrap_step(timestamp, n_tracked, tdiag, imu_rows)
-        return self._tracking_step(timestamp, n_tracked, tdiag, pred)
+
+        # Steady state: the WHOLE tracking frame — prediction, LK,
+        # RANSAC, landmark join, PnP, outlier relabel, keyframe decision
+        # — is ONE compiled dispatch (estimator/fused.py) with a single
+        # device->host scalar-bundle read.
+        res = self._tracking_step(img, timestamp)
+        self.img_prev = img
+        return res
 
     # ------------------------------------------------------------------
 
@@ -586,7 +533,10 @@ class Estimator:
         # Full BA over the 2 keyframes (Initializer.cpp:250-280)
         self.win, ba_res = window.window_ba(
             self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
-            cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+            cfg.camera.boundary_margin,
+            huber_delta=cfg.window.huber_delta,
+            chi2_threshold=cfg.window.chi2_threshold,
+            max_iterations=cfg.window.max_lm_iterations,
             backend=cfg.solver.backend,
             dist_fn=self._dist_ba_fn,
         )
@@ -711,6 +661,8 @@ class Estimator:
 
         self.win, _ = window.window_ba(
             self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
+            huber_delta=cfg.window.huber_delta,
+            chi2_threshold=cfg.window.chi2_threshold,
             max_iterations=cfg.window.max_lm_iterations,
             backend=cfg.solver.backend,
             dist_fn=self._dist_ba_fn,
@@ -791,97 +743,57 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
-    def _predict_pose(self):
-        """Pose prediction: IMU propagation when initialized
-        (Estimator.cpp:429-471), else constant-velocity
-        (Estimator.cpp:318-334). Returns (r_pred, t_pred, v_pred)."""
+    def _tracking_step(self, img, timestamp) -> FrameResult:
+        """Steady-state frame: one fused dispatch + one scalar-bundle
+        read (fused.tracking_step — prediction, LK, RANSAC, landmark
+        join, PnP, relabel, keyframe decision all on device)."""
         cfg = self.cfg
-        v_pred = self.vel_cur
-        if self.imu_initialized and len(self.last_imu_rows):
-            pf = self._preintegrate(
-                self.last_imu_rows, self.bg, self.ba, cfg.imu.max_samples_per_frame
+        use_imu = self.imu_initialized
+        cap = cfg.imu.max_samples_per_frame
+        s = np.zeros((cap, 7), np.float32)
+        m = np.zeros(cap, bool)
+        n = min(len(self.last_imu_rows), cap) if use_imu else 0
+        if n:
+            s[:n] = self.last_imu_rows[-n:]
+            m[:n] = True
+
+        with self._stage("tracking_step"):
+            self.track, self.key, r_new, t_new, v_new, bundle = fused.tracking_step(
+                self.track, self.win, self.img_prev, img,
+                jnp.asarray(timestamp, jnp.float32), self.key,
+                self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+                self.vel_cur, self.bg, self.ba, self.gravity_w,
+                jnp.asarray(s), jnp.asarray(m), jnp.asarray(n > 0),
+                self.t_bc[:3, :3], self.r_cb, self.t_cb, cfg, use_imu,
             )
-            r_pred, t_pred, v_pred = pre.predict_state(
-                self.r_cur, self.t_cur, self.vel_cur, pf, self.gravity_w
-            )
-        else:
-            ri, ti = lie.se3_inverse(self.r_prev, self.t_prev)
-            dr, dt = lie.se3_compose(ri, ti, self.r_cur, self.t_cur)
-            r_pred, t_pred = lie.se3_compose(self.r_cur, self.t_cur, dr, dt)
-            # Snap back onto SO(3): this composition amplifies any
-            # off-manifold f32 error geometrically frame-over-frame
-            # (see lie.so3_renormalize — the reference SVD-normalizes
-            # every constructed SO3, LieUtils.h:40-44).
-            r_pred = lie.so3_renormalize(r_pred)
-        return r_pred, t_pred, v_pred
-
-    def _tracking_step(self, timestamp, n_tracked, tdiag, pred=None) -> FrameResult:
-        cfg = self.cfg
-        w, h = cfg.camera.width, cfg.camera.height
-
-        r_pred, t_pred, v_pred = pred if pred is not None else self._predict_pose()
-
-        ids = jnp.where(self.track.valid, self.track.ids, -1)
-        points, active, marg = _pnp_inputs(
-            self.win, ids, self.track.valid, self.track.uv,
-            w, h, cfg.camera.boundary_margin,
-        )
-
-        with self._stage("pnp"):
-            res = pnp_mod.solve_pnp(
-                r_pred, t_pred, points, self.track.uv, active, marg,
-                self.r_cb, self.t_cb, w, h,
-                huber_delta=cfg.window.huber_delta,
-                chi2_threshold=cfg.window.chi2_threshold,
-                rounds=cfg.window.pnp_rounds,
-                max_iterations=cfg.window.max_lm_iterations,
-                min_inliers=cfg.window.pnp_min_inliers,
-                backend=cfg.solver.backend,
-            )
-            pnp_ok = bool(res.success)
-        if pnp_ok:
-            # Outlier-latch feedback: chi2 outlier features lose their
-            # landmark association and can only seed a fresh landmark
-            # from post-latch evidence (see _relabel_tracks).
-            # res.outlier already excludes marginalized anchors.
-            self.track = _relabel_tracks(self.track, res.outlier)
+            b = jax.device_get(bundle)  # the frame's ONE host sync
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
-        self.r_cur, self.t_cur = res.r_wb, res.t_wb
-        self.vel_cur = v_pred
-        n_inl = int(res.num_inliers)
+        self.r_cur, self.t_cur = r_new, t_new
+        self.vel_cur = v_new
 
-        # Keyframe decision: median parallax vs last keyframe
-        # (Estimator.cpp:616-635), plus a map-freshness trigger when PnP
-        # inlier support collapses (see TrackingConfig.kf_min_inlier_ratio).
-        i_last = int(self.win.n_kf) - 1
-        par, n_shared = _median_parallax(
-            self.track.uv, ids, self.track.valid,
-            self.win.kf_feat_uv[i_last], self.win.kf_feat_id[i_last], w,
-        )
-        n_active = int(jnp.sum(active))
-        parallax_kf = float(par) >= cfg.tracking.min_parallax_for_keyframe
-        # Only fire the freshness trigger while the pose is still well
-        # supported — keyframing after a collapse would bake a bad pose
-        # into the map.
-        starving = (
-            cfg.tracking.kf_min_inlier_ratio > 0
-            and n_inl < cfg.tracking.kf_min_inlier_ratio * max(n_active, 1)
-            and n_inl >= 3 * cfg.window.pnp_min_inliers
-        )
-        is_kf = pnp_ok and (parallax_kf or starving)
+        pnp_ok = bool(b["success"])
+        is_kf = bool(b["is_kf"])
+        n_inl = int(b["n_inliers"])
+        r_np, t_np = np.asarray(b["r"]), np.asarray(b["t"])
         diag = {
-            "pnp_cost": float(res.final_cost),
-            "parallax": float(par),
-            "n_shared": int(n_shared),
-            "n_active": n_active,
+            "pnp_cost": float(b["pnp_cost"]),
+            "parallax": float(b["parallax"]),
+            "n_shared": int(b["n_shared"]),
+            "n_active": int(b["n_active"]),
         }
 
         if is_kf:
             self._create_keyframe(timestamp, diag)
-
-        self._record(timestamp)
+            # keyframe pose was refined by BA — record the updated one
+            self._record(timestamp)
+            r_np, t_np = np.asarray(self.r_cur), np.asarray(self.t_cur)
+        else:
+            self._record(timestamp, r_np, t_np)
         state = "tracking" if pnp_ok else "tracking_lost"
-        return self._result(timestamp, state, is_kf, n_tracked, n_inl, diag)
+        return self._result(
+            timestamp, state, is_kf, int(b["n_tracked"]), n_inl, diag,
+            r=r_np, t=t_np,
+        )
 
     def _create_keyframe(self, timestamp, diag):
         cfg = self.cfg
@@ -922,6 +834,8 @@ class Estimator:
                     self.win, self.t_bc, stacked, pair_valid, self.gravity_w,
                     self.bg, self.ba, cfg.camera.width, cfg.camera.height,
                     cfg.camera.boundary_margin,
+                    huber_delta=cfg.window.huber_delta,
+                    chi2_threshold=cfg.window.chi2_threshold,
                     max_iterations=cfg.window.viba_max_iterations,
                     inertial_weight=cfg.window.viba_inertial_weight,
                     bg_prior_weight=cfg.window.viba_bg_prior_weight,
@@ -939,7 +853,10 @@ class Estimator:
             with self._stage("ba"):
                 self.win, ba_res = window.window_ba(
                     self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
-                    cfg.camera.boundary_margin, max_iterations=cfg.window.max_lm_iterations,
+                    cfg.camera.boundary_margin,
+                    huber_delta=cfg.window.huber_delta,
+                    chi2_threshold=cfg.window.chi2_threshold,
+                    max_iterations=cfg.window.max_lm_iterations,
                     backend=cfg.solver.backend,
                     dist_fn=self._dist_ba_fn,
                 )
@@ -1023,13 +940,16 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
-    def _result(self, timestamp, state, is_kf, n_tracked, n_inl, diag) -> FrameResult:
+    def _result(
+        self, timestamp, state, is_kf, n_tracked, n_inl, diag,
+        r: np.ndarray | None = None, t: np.ndarray | None = None,
+    ) -> FrameResult:
         return FrameResult(
             frame_id=self.frame_id,
             timestamp=timestamp,
             state=state,
-            r_wb=np.asarray(self.r_cur),
-            t_wb=np.asarray(self.t_cur),
+            r_wb=np.asarray(self.r_cur) if r is None else r,
+            t_wb=np.asarray(self.t_cur) if t is None else t,
             is_keyframe=is_kf,
             n_tracked=n_tracked,
             n_pnp_inliers=n_inl,

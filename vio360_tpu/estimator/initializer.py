@@ -37,6 +37,7 @@ from ..geometry import camera as cam
 from ..geometry import essential as ess
 from ..geometry import triangulation
 from ..ops import ransac
+from ..utils.precision import jit as _pjit
 
 _VOTE_REPROJ_THR = 5.0  # px, Initializer.cpp:818
 
@@ -102,7 +103,7 @@ def _reproj_err_px(p: jax.Array, bearing: jax.Array, width: int, height: int) ->
     return jnp.where(jnp.linalg.norm(p, axis=-1) < 1e-6, 1000.0, err)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(_pjit, static_argnames=("cfg",))
 def try_initialize(
     key: jax.Array,
     uv_first: jax.Array,  # [C,2] feature pixels in the window's first frame

@@ -35,6 +35,7 @@ from ..geometry import lie
 from ..geometry import triangulation
 from ..solver import ba as ba_mod
 from ..solver import viba as viba_mod
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -118,7 +119,7 @@ def slot_to_landmark(win: WindowState, feat_ids: jax.Array) -> jax.Array:
     return jnp.where(got == feat_ids, out, -1)
 
 
-@jax.jit
+@_pjit
 def add_keyframe(
     win: WindowState,
     r_wb: jax.Array,
@@ -216,7 +217,7 @@ def add_landmarks(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(_pjit, static_argnames=("width", "height"))
 def triangulate_new_landmarks(
     win: WindowState,
     t_bc: jax.Array,
@@ -358,6 +359,8 @@ def window_viba(
     width: int,
     height: int,
     boundary_margin: float,
+    huber_delta: float = 1.0,
+    chi2_threshold: float = 5.991,
     max_iterations: int = 20,
     inertial_weight: float = 1.0,
     bg_prior_weight: float = 50.0,
@@ -391,6 +394,8 @@ def window_viba(
             win.kf_r, win.kf_t, win.kf_vel, bg, ba_bias,
             win.lm_pos, obs_uv, obs_mask, fixed_pose, fixed_point, win.lm_marg,
             preints, pair_valid, gravity_w, r_cb, t_cb, width, height,
+            huber_delta=huber_delta,
+            chi2_threshold=chi2_threshold,
             max_iterations=max_iterations,
             inertial_weight=inertial_weight,
             bg_prior_weight=bg_prior_weight,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..config import VioConfig
 from ..geometry import camera as cam
 from ..ops import lk, ransac, shi_tomasi
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -114,7 +115,7 @@ def _limit_per_cell(
     return valid & (rank < cap)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(_pjit, static_argnames=("width", "height"))
 def _rotation_guess(uv, r_cc, width, height):
     """Rotation-predicted feature positions: bearings through the
     predicted camera rotation, reprojected on the ERP chart."""
@@ -123,7 +124,7 @@ def _rotation_guess(uv, r_cc, width, height):
     return cam.bearing_to_pixel(b_cur, width, height)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(_pjit, static_argnames=("cfg", "guess_from_imu"))
 def track_frame(
     state: TrackState,
     img_prev: jax.Array,
@@ -132,13 +133,20 @@ def track_frame(
     key: jax.Array,
     cfg: VioConfig,
     r_cc_pred: jax.Array | None = None,
+    guess_from_imu: bool = False,
 ) -> tuple[TrackState, jax.Array, dict]:
     """One front-end step. Returns (new_state, R_prev_to_curr, diag).
 
     ``r_cc_pred``: optional predicted camera rotation, mapping PREV-
     camera bearings to CUR-camera bearings (R_wc_cur^T R_wc_prev).
     When given (and enabled in config), LK starts from the rotation-
-    predicted flow instead of the previous position."""
+    predicted flow instead of the previous position.
+
+    ``guess_skips_top_level`` only fires when the prediction comes from
+    gyro propagation (``guess_from_imu``): a constant-velocity VO
+    prediction has unbounded error under rotational acceleration, so
+    dropping the top pyramid level there would halve the absorbable
+    motion margin exactly when it is needed most."""
     c = cfg.camera
     w, h = c.width, c.height
     f = cfg.features
@@ -147,7 +155,11 @@ def track_frame(
     num_levels = cfg.optical_flow.max_level
     if r_cc_pred is not None and cfg.optical_flow.use_rotation_guess:
         uv_guess = _rotation_guess(state.uv, r_cc_pred, w, h)
-        if cfg.optical_flow.guess_skips_top_level and num_levels >= 2:
+        if (
+            guess_from_imu
+            and cfg.optical_flow.guess_skips_top_level
+            and num_levels >= 2
+        ):
             num_levels -= 1
 
     # 1. LK track
@@ -265,7 +277,7 @@ def track_frame(
     return new_state, r_rel, diag
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(_pjit, static_argnames=("cfg",))
 def bootstrap_frame(
     state: TrackState, img: jax.Array, timestamp: jax.Array, cfg: VioConfig
 ) -> TrackState:

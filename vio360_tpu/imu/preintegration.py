@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -71,7 +72,7 @@ def identity_preintegration() -> Preintegration:
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(_pjit, static_argnames=())
 def preintegrate(
     samples: jax.Array,  # [S, 7] rows (t, ax, ay, az, gx, gy, gz)
     mask: jax.Array,  # [S] bool
@@ -157,7 +158,7 @@ def preintegrate(
     return final
 
 
-@jax.jit
+@_pjit
 def update_bias(preint: Preintegration, new_bg: jax.Array, new_ba: jax.Array) -> Preintegration:
     """First-order re-linearization at a new bias without re-integration
     (IMUPreintegrator.cpp:276-308, with the corrected Jacobian signs)."""

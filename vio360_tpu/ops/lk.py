@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from .pyramid import build_pyramid, scharr_gradients
 from .sampling import bilinear_sample, patch_coords
+from ..utils.precision import jit as _pjit
 
 
 def _track_level(
@@ -140,7 +141,7 @@ def track(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_levels", "half_win", "iters", "eps"))
+@functools.partial(_pjit, static_argnames=("num_levels", "half_win", "iters", "eps"))
 def track_xla(
     img_prev: jax.Array,  # [H, W] float32
     img_next: jax.Array,

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import pyramid as pyr
+from ..utils.precision import jit as _pjit
 
 # Search patch: template window (2*half+1) + drift margin on each side.
 _DRIFT = 6  # px per level beyond the initial guess
@@ -383,7 +384,7 @@ def track(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "level_offs", "level_shapes", "num_levels", "half_win", "iters",
         "eps", "min_eig_threshold",

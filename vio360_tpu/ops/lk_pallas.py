@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
 from . import pyramid as pyr
+from ..utils.precision import jit as _pjit
 
 FPB = 128  # features per grid program
 
@@ -330,7 +331,7 @@ def track(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "meta", "num_levels", "half_win", "iters", "eps",
         "min_eig_threshold", "interpret",

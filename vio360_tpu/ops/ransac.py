@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.essential import enforce_rank2, epipolar_errors, solve_eight_point
+from ..utils.precision import jit as _pjit
 
 
 def _sample_valid(key: jax.Array, valid: jax.Array, shape: tuple[int, ...]) -> jax.Array:
@@ -51,7 +52,7 @@ def _kabsch_rotation(b1: jax.Array, b2: jax.Array) -> jax.Array:
     return vt.T @ s @ u.T
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(_pjit, static_argnames=("iterations",))
 def rotation_ransac(
     key: jax.Array,
     bearings_prev: jax.Array,  # [N, 3]
@@ -88,7 +89,7 @@ def rotation_ransac(
     return rs[best], inl[best], counts[best]
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(_pjit, static_argnames=("iterations",))
 def essential_ransac(
     key: jax.Array,
     bearings1: jax.Array,  # [N, 3]

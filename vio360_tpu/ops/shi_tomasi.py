@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .pyramid import scharr_gradients
+from ..utils.precision import jit as _pjit
 
 
 def response_map(img: jax.Array, block_size: int = 3) -> jax.Array:
@@ -66,7 +67,7 @@ def _maxpool_same(x: jax.Array, window: int) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_new", "min_distance", "quality_level"))
+@functools.partial(_pjit, static_argnames=("max_new", "min_distance", "quality_level"))
 def detect(
     img: jax.Array,
     allowed_mask: jax.Array,  # [H, W] bool: where detection is allowed

@@ -32,6 +32,7 @@ except ImportError:  # pragma: no cover
 
 from ..geometry import lie
 from ..solver import factors, linsolve
+from ..utils.precision import jit as _pjit
 
 
 def _evaluate_local(r_wb, t_wb, points, obs, mask, r_cb, t_cb, width, height,
@@ -198,6 +199,6 @@ def make_dist_ba(
     )
     out_specs = (P("seq"), P("seq"), P("seq", "lm"), P("seq"), P("seq"), P("seq"))
 
-    return jax.jit(
+    return _pjit(
         shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )

@@ -27,6 +27,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..solver import pose_graph
+from ..utils.precision import jit as _pjit
 
 
 def make_dist_pose_graph(mesh: Mesh, max_iterations: int = 50, axis: str = "lm"):
@@ -47,6 +48,6 @@ def make_dist_pose_graph(mesh: Mesh, max_iterations: int = 50, axis: str = "lm")
     out_specs = pose_graph.PoseGraphResult(
         r_wb=P(), t_wb=P(), final_cost=P(), initial_cost=P(), num_iterations=P()
     )
-    return jax.jit(
+    return _pjit(
         shard_map(core, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )

@@ -28,6 +28,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..solver import viba as viba_mod
+from ..utils.precision import jit as _pjit
 
 
 def make_dist_viba(
@@ -89,6 +90,6 @@ def make_dist_viba(
         points=lm, initial_cost=P(), final_cost=P(), num_iterations=P(),
         outlier_obs=P(None, axis), new_bad=lm, num_inliers=P(),
     )
-    return jax.jit(
+    return _pjit(
         shard_map(core, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )

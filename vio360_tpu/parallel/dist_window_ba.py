@@ -25,6 +25,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..solver import ba as ba_mod
+from ..utils.precision import jit as _pjit
 
 
 def make_dist_window_ba(
@@ -75,6 +76,6 @@ def make_dist_window_ba(
         outlier_obs=P(None, axis),
         initial_cost=P(), final_cost=P(), num_iterations=P(),
     )
-    return jax.jit(
+    return _pjit(
         shard_map(core, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )

@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
 
 from ..ops import lk
 from ..solver import pnp
+from ..utils.precision import jit as _pjit
 
 
 def make_seq_mesh(devices=None) -> Mesh:
@@ -106,6 +107,6 @@ def make_multi_seq_frame_step(
     b_spec = P(axis)
     in_specs = (b_spec,) * 9 + (P(), P())
     out_specs = (b_spec,) * 7
-    return jax.jit(
+    return _pjit(
         shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )

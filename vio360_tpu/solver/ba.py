@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from . import factors, linsolve
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -111,7 +112,7 @@ def run_ba(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "width", "height", "max_iterations", "pixel_noise_std", "huber_delta",
         "interpret",
@@ -349,5 +350,5 @@ def _classify(
 
 
 run_ba_xla = functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_iterations")
+    _pjit, static_argnames=("width", "height", "max_iterations")
 )(functools.partial(_run_ba_xla_core, axis=None))

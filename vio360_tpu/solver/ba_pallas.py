@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ..utils.precision import jit as _pjit
 
 MAX_PIXEL_ERROR = 100.0  # Factors.cpp:110
 _TWO_PI = 2.0 * jnp.pi
@@ -500,7 +501,7 @@ def _ba_iter_kernel(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=("width", "height", "huber_delta", "diag_damping", "interpret"),
 )
 def ba_iteration(
@@ -696,7 +697,7 @@ def _ba_solve_kernel(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "width", "height", "huber_delta", "diag_damping", "max_iterations",
         "pixel_noise_std", "interpret",
@@ -846,7 +847,7 @@ def _pnp_solve_kernel(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "width", "height", "huber_delta", "chi2_threshold", "rounds",
         "max_iterations", "pixel_noise_std", "interpret",

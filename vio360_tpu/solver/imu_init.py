@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..geometry import lie
 from ..imu.preintegration import Preintegration
 from . import linsolve
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -189,7 +190,7 @@ def _gravity_to_dir(g: jax.Array) -> jax.Array:
     return phi[:2]
 
 
-@functools.partial(jax.jit, static_argnames=("gravity_magnitude", "max_iterations"))
+@functools.partial(_pjit, static_argnames=("gravity_magnitude", "max_iterations"))
 def solve_imu_init(
     kf_r: jax.Array,  # [K,3,3]
     kf_t: jax.Array,  # [K,3]

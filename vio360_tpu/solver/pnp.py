@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from . import factors, linsolve
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -96,7 +97,7 @@ def solve_pnp(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=(
         "width", "height", "rounds", "max_iterations", "min_inliers",
         "pixel_noise_std", "huber_delta", "chi2_threshold", "interpret",
@@ -157,7 +158,7 @@ def solve_pnp_pallas(
 
 
 @functools.partial(
-    jax.jit,
+    _pjit,
     static_argnames=("width", "height", "rounds", "max_iterations", "min_inliers"),
 )
 def solve_pnp_xla(

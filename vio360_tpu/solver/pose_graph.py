@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from . import linsolve
+from ..utils.precision import jit as _pjit
 
 
 @jax.tree_util.register_dataclass
@@ -191,7 +192,7 @@ def optimize_pose_graph_core(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(_pjit, static_argnames=("max_iterations",))
 def optimize_pose_graph(
     r_wb, t_wb, ei, ej, rel_r, rel_t, w_sqrt, edge_valid, fixed_pose,
     max_iterations: int = 50,

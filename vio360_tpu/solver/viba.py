@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..geometry import lie
 from ..imu.preintegration import Preintegration
 from . import factors, linsolve
+from ..utils.precision import jit as _pjit
 def _sqrt_information_full(cov9: jax.Array) -> jax.Array:
     """True sqrt information of the 9x9 preintegration covariance.
 
@@ -297,7 +298,7 @@ def _run_viba_core(
     )
 
 
-run_viba = functools.partial(jax.jit, static_argnames=(
+run_viba = functools.partial(_pjit, static_argnames=(
     "width", "height", "max_iterations", "pixel_noise_std", "huber_delta",
     "chi2_threshold", "inertial_weight", "bg_prior_weight", "ba_prior_weight",
 ))(functools.partial(_run_viba_core, axis=None))
