@@ -167,6 +167,51 @@ def bench_weak_scaling():
     return fps, fps[2] / fps[1]
 
 
+def bench_weak_scaling_mp():
+    """Cross-PROCESS weak scaling: 2 jax.distributed processes x 1
+    pinned core x 1 stream each on the product's global (seq) mesh
+    (tools/bench_weak_scaling_mp.py), vs the same step in 1 process.
+    The serving program is collective-free, so this measures the
+    process boundary's real cost on the multi-host serving path."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = {
+        **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+    }
+    tool = os.path.join(root, "tools", "bench_weak_scaling_mp.py")
+
+    def run(nprocs):
+        port = 21000 + (os.getpid() % 9000)
+        coord = f"127.0.0.1:{port}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, tool, str(nprocs), str(i), coord],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(nprocs)
+        ]
+        fps = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            if p.returncode:
+                return None
+            fps.append(json.loads(out.strip().splitlines()[-1])["fps_per_stream"])
+        return sum(fps) / len(fps)
+
+    try:
+        f1 = run(1)
+        f2 = run(2)
+    except Exception:
+        return None, None
+    if not f1 or not f2:
+        return None, None
+    return {1: f1, 2: f2}, f2 / f1
+
+
 def bench_multi_stream(batches=(1, 8)):
     """Frames/s serving B independent camera streams on ONE chip via the
     multi_seq sharded frame step. NOTE (SCALING.md §1): on one device
@@ -201,6 +246,63 @@ def bench_multi_stream(batches=(1, 8)):
         out[b] = b / dt  # frames/s across all streams
     eff = out[batches[-1]] / (batches[-1] * out[batches[0]])
     return out, eff
+
+
+def bench_pipeline_fps():
+    """MEASURED end-to-end pipeline throughput on the accelerator — the
+    ACTUAL product loop (Estimator.process_frame over a 960x480 VIO
+    sequence at the reference's operating point; cli.py:162-200 ≙
+    app/main.cpp:178-223), not a kernel-level bound. Pass 1 warms every
+    jit cache (bootstrap, init, fused tracking, VIBA, triangulation,
+    marginals); pass 2 re-runs a FRESH estimator over the same frames
+    and is timed wall-clock end to end — including every host sync and
+    dispatch the product makes per frame (the steady-state frame is ONE
+    fused dispatch + one scalar read, estimator/fused.py)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    seq = "/tmp/bench_seq_prod60"
+    env = {
+        **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+        "JAX_PLATFORMS": "cpu",
+    }
+    if not os.path.isfile(os.path.join(seq, "groundtruth.tum")):
+        subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "make_synthetic_dataset.py"),
+             seq, "--frames", "60", "--width", "960", "--height", "480",
+             "--texture", "--pixel-noise", "0.2"],
+            env=env, check=True, capture_output=True,
+        )
+
+    from vio360_tpu import config as cfgmod
+    from vio360_tpu.estimator.estimator import Estimator
+    from vio360_tpu.io import dataset as ds
+
+    cfg = cfgmod.VioConfig()  # defaults ARE the reference operating point
+    data = ds.VioDataset(seq, image_size=(cfg.camera.width, cfg.camera.height))
+    frames = [(f.image, f.timestamp, f.imu) for f in data]
+
+    def run():
+        est = Estimator(cfg)
+        t0 = time.perf_counter()
+        states = []
+        for img, t, imu in frames:
+            res = est.process_frame(img, t, imu)
+            states.append(res.state)
+        dt = time.perf_counter() - t0
+        return est, dt, states
+
+    run()  # warm: compile everything the product loop reaches
+    est, dt, states = run()
+    n_tracking = sum(s.startswith("tracking") for s in states)
+    if n_tracking < len(frames) // 2:
+        return None, None  # tracking collapsed; fps would be meaningless
+    fps = len(frames) / dt
+    ts = est.timers.summary().get("tracking_step")
+    return fps, (ts["mean_ms"] if ts else None)
 
 
 def bench_accuracy():
@@ -251,7 +353,9 @@ def main():
     frame_ms = bench_frame_step()
     frame_dev_ms = bench_frame_step_device()
     streams, eff = bench_multi_stream()
+    pipe_fps, pipe_track_ms = bench_pipeline_fps()
     ws_fps, ws_eff = bench_weak_scaling()
+    mp_fps, mp_eff = bench_weak_scaling_mp()
     acc = bench_accuracy()
     target_ms = 5.0
     # Per-stream batching cost: chip time per frame at B=8 (total fps
@@ -273,11 +377,21 @@ def main():
         "device": str(dev),
         "platform": dev.platform,
     }
+    if pipe_fps is not None:
+        # the MEASURED end-to-end product-loop number (not a bound)
+        rec["pipeline_fps"] = round(pipe_fps, 1)
+        if pipe_track_ms is not None:
+            rec["pipeline_tracking_step_ms"] = round(pipe_track_ms, 3)
     if ws_eff is not None:
         rec["weak_scaling_fps_per_stream"] = {
             str(n): round(v, 2) for n, v in ws_fps.items()
         }
         rec["device_scaling_efficiency_2dev"] = round(ws_eff, 3)
+    if mp_eff is not None:
+        rec["cross_process_fps_per_stream"] = {
+            str(n): round(v, 2) for n, v in mp_fps.items()
+        }
+        rec["cross_process_scaling_efficiency_2proc"] = round(mp_eff, 3)
     if acc:
         rec["ate_rmse_se3"] = round(acc["ate_rmse_se3"], 4)
         rec["scale_error"] = round(acc["scale_error"], 4)

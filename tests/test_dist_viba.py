@@ -97,6 +97,59 @@ def test_dist_viba_matches_single_device():
     assert int(dist.num_inliers) == int(single.num_inliers)
 
 
+_X64_WORKER = r'''
+import sys, os
+sys.path.insert(0, os.environ["VIO360_ROOT"])
+sys.path.insert(0, os.path.join(os.environ["VIO360_ROOT"], "tests"))
+import jax, jax.numpy as jnp
+import numpy as np
+from test_dist_viba import make_problem, W, H
+from vio360_tpu.parallel import dist_viba, mesh as mesh_mod
+from vio360_tpu.solver import viba as viba_mod
+
+args = make_problem()
+to64 = lambda x: (
+    x.astype(jnp.float64)
+    if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+    else x
+)
+args64 = jax.tree_util.tree_map(to64, args)
+single = viba_mod.run_viba(*args64, width=W, height=H, max_iterations=8)
+fn = dist_viba.make_dist_viba(
+    mesh_mod.make_mesh(n_seq=1, n_lm=8), W, H, max_iterations=8
+)
+dist = fn(*args64)
+dp = np.abs(np.asarray(dist.points) - np.asarray(single.points)).max()
+dt = float(jnp.abs(dist.t_wb - single.t_wb).max())
+assert dp < 1e-6, dp
+assert dt < 1e-8, dt
+print(f"X64_EXACT_OK dp={dp:.2e} dt={dt:.2e}", flush=True)
+'''
+
+
+def test_dist_viba_x64_exact():
+    """The 5e-2 f32 weak-landmark tolerance above is PRECISION, not a
+    sharding bug: in f64 the sharded solve matches the single-device
+    solve to 1e-6 on EVERY landmark (measured 6.6e-9; SCALING.md §5).
+    Runs in a subprocess because JAX_ENABLE_X64 is process-global."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env.update(
+        JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1", VIO360_ROOT=root,
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", _X64_WORKER], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "X64_EXACT_OK" in r.stdout
+
+
 def test_dist_viba_improves_cost():
     args = make_problem(seed=3)
     msh = mesh_mod.make_mesh(n_seq=1, n_lm=8)

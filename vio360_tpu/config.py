@@ -148,12 +148,23 @@ class PoseGraphConfig:
     sliding window forgets everything older than 10 keyframes
     (Estimator.cpp:692-754); SURVEY.md §7 stage 8.
 
-    Weights are diagonal sqrt-information entries (1/sigma): visual
-    relatives from BA-refined poses are trusted most; skip (i, i+2)
-    relatives add rigidity; IMU odometry edges are weaker (velocity +
-    gravity enter the translation prediction)."""
+    Edge weights are diagonal sqrt-information (1/sigma per residual
+    axis). With ``cov_weighted`` (default) they are DERIVED per edge:
+    visual/skip relatives from the window BA's marginal pose covariance
+    (solver/marginals.py — Schur-reduced information inverted at the
+    converged state), IMU odometry edges from the preintegration
+    covariance. The ``*_weight_*`` constants below are the fallback
+    used when ``cov_weighted`` is off."""
     enabled: bool = True
-    # sqrt-info for (translation m, rotation rad) residual components
+    cov_weighted: bool = True
+    # covariance floors: sigma below these is treated as these (keeps
+    # derived weights finite; anchors have exactly zero covariance)
+    min_sigma_t: float = 1e-3  # m
+    min_sigma_r: float = 5e-4  # rad
+    # velocity-estimate uncertainty entering IMU edge translations via
+    # the v0*dt term (VIBA does not track velocity covariance)
+    imu_vel_sigma: float = 0.05  # m/s
+    # fallback sqrt-info for (translation m, rotation rad) components
     vis_weight_t: float = 20.0
     vis_weight_r: float = 100.0
     skip_weight_t: float = 10.0

@@ -38,6 +38,7 @@ from ..frontend import tracker
 from ..geometry import lie
 from ..imu import preintegration as pre
 from ..solver import imu_init as imu_init_mod
+from ..solver import marginals
 from ..solver import pnp as pnp_mod
 from ..utils.logging import StageTimer, get_logger
 from . import fused, initializer, window
@@ -58,6 +59,31 @@ class FrameResult:
     n_tracked: int
     n_pnp_inliers: int
     diag: dict[str, Any]
+
+
+@dataclasses.dataclass
+class PgEdge:
+    """One SE(3) relative constraint in the evicted-keyframe pose graph
+    (solver/pose_graph.py). ``w_sqrt`` is the [6] diagonal
+    sqrt-information (rho, phi) — covariance-derived by default
+    (solver/marginals.py). IMU odometry edges additionally keep the
+    pieces needed to RE-DERIVE their translation under a world
+    similarity transform: unlike visual relatives, the accelerometer's
+    dP and gravity terms are metric and must not rescale with the
+    visual map — only the v0*dt kinematic term tracks the rescaled
+    world (see _transform_history)."""
+
+    fi: int
+    fj: int
+    rel_r: np.ndarray  # [3,3]
+    rel_t: np.ndarray  # [3]
+    w_sqrt: np.ndarray  # [6] diagonal sqrt-information (rho, phi)
+    kind: str = "vis"  # "vis" | "skip" | "imu"
+    # IMU-only (kind == "imu"):
+    v0: np.ndarray | None = None  # world velocity of node i at record time
+    r0: np.ndarray | None = None  # world rotation of node i at record time
+    dt: float = 0.0  # preintegration span [s]
+    dp: np.ndarray | None = None  # bias-corrected body-frame delta-p (metric)
 
 
 @_pjit
@@ -163,7 +189,7 @@ class Estimator:
         # simply forgets). Nodes are keyframe frame-ids in eviction
         # order; edges are (fid_i, fid_j, rel_r, rel_t, w_t, w_r).
         self.pg_nodes: list[int] = []
-        self.pg_edges: list[tuple[int, int, np.ndarray, np.ndarray, float, float]] = []
+        self.pg_edges: list[PgEdge] = []
 
         # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
         self.imu_initialized = False
@@ -274,20 +300,32 @@ class Estimator:
             return
         self.pg_nodes.append(fid0)
 
+        def fallback(wt, wr):
+            return np.concatenate(
+                [np.full(3, wt), np.full(3, wr)]
+            ).astype(np.float32)
+
+        if pcfg.cov_weighted:
+            # One fused dispatch: marginal pose covariance of the
+            # converged window (Schur-reduced information inverted),
+            # propagated to the (0,1) and (0,2) relatives
+            # (solver/marginals.py). Fixed shape regardless of m; the
+            # second row is discarded when no skip edge is recorded.
+            w01, w02 = np.asarray(jax.device_get(self._pair_sqrt_info()))
+        else:
+            w01 = fallback(pcfg.vis_weight_t, pcfg.vis_weight_r)
+            w02 = fallback(pcfg.skip_weight_t, pcfg.skip_weight_r)
+
         def rel(i, j):
             rr = kf_r[i].T @ kf_r[j]
             rt = kf_r[i].T @ (kf_t[j] - kf_t[i])
             return np.asarray(rr, np.float32), np.asarray(rt, np.float32)
 
         rr, rt = rel(0, 1)
-        self.pg_edges.append(
-            (fid0, int(kf_id[1]), rr, rt, pcfg.vis_weight_t, pcfg.vis_weight_r)
-        )
+        self.pg_edges.append(PgEdge(fid0, int(kf_id[1]), rr, rt, w01, "vis"))
         if m >= 3 and int(kf_id[2]) >= 0:
             rr, rt = rel(0, 2)
-            self.pg_edges.append(
-                (fid0, int(kf_id[2]), rr, rt, pcfg.skip_weight_t, pcfg.skip_weight_r)
-            )
+            self.pg_edges.append(PgEdge(fid0, int(kf_id[2]), rr, rt, w02, "skip"))
         if self.imu_initialized and self.kf_preints:
             # kf_preints[0] preintegrates window pair (0, 1). Bias-correct
             # the deltas first-order (IMUPreintegrator.cpp:276-308), then
@@ -304,11 +342,52 @@ class Estimator:
             if dt > 1e-6:
                 g = np.asarray(self.gravity_w)
                 t_rel = kf_r[0].T @ (kf_vel[0] * dt + 0.5 * g * dt * dt) + dp
+                if pcfg.cov_weighted:
+                    wt, wr = marginals.preint_edge_sqrt_info(
+                        p0.cov, dt, vel_sigma=pcfg.imu_vel_sigma,
+                        min_sigma_t=pcfg.min_sigma_t,
+                        min_sigma_r=pcfg.min_sigma_r,
+                    )
+                    w_imu = np.concatenate([wt, wr])
+                else:
+                    w_imu = fallback(pcfg.imu_weight_t, pcfg.imu_weight_r)
                 self.pg_edges.append(
-                    (fid0, int(kf_id[1]), np.asarray(dr, np.float32),
-                     np.asarray(t_rel, np.float32),
-                     pcfg.imu_weight_t, pcfg.imu_weight_r)
+                    PgEdge(
+                        fid0, int(kf_id[1]), np.asarray(dr, np.float32),
+                        np.asarray(t_rel, np.float32), w_imu, "imu",
+                        v0=np.asarray(kf_vel[0], np.float32),
+                        r0=np.asarray(kf_r[0], np.float32),
+                        dt=dt,
+                        dp=np.asarray(dp, np.float32),
+                    )
                 )
+
+    def _pair_sqrt_info(self):
+        """Sqrt-information of the window's (0,1) and (0,2) relatives
+        from the marginal pose covariance at the CURRENT (BA-refined)
+        window state. Mirrors window.window_ba's problem construction
+        exactly (same observations, gauge and boundary filter)."""
+        cfg = self.cfg
+        pcfg = cfg.pose_graph
+        win = self.win
+        obs_uv, obs_mask = window.observations(win)
+        from ..geometry import camera as cam
+
+        obs_mask &= ~cam.is_near_boundary(
+            obs_uv, cfg.camera.width, cfg.camera.height,
+            cfg.camera.boundary_margin,
+        )
+        kf_ok = win.kf_id >= 0
+        fixed_pose = ~kf_ok | (jnp.arange(win.max_kf) == 0)
+        fixed_point = ~win.lm_alive | win.lm_marg
+        return marginals.window_relpose_sqrt_info(
+            win.kf_r, win.kf_t, win.lm_pos, obs_uv, obs_mask,
+            fixed_pose, fixed_point, self.r_cb, self.t_cb,
+            jnp.asarray([0, 0], jnp.int32), jnp.asarray([1, 2], jnp.int32),
+            cfg.camera.width, cfg.camera.height,
+            huber_delta=cfg.window.huber_delta,
+            min_sigma_t=pcfg.min_sigma_t, min_sigma_r=pcfg.min_sigma_r,
+        )
 
     def optimize_pose_graph(self):
         """Pose-graph solve over the evicted-keyframe history with the
@@ -329,7 +408,7 @@ class Estimator:
         known = set(self.pg_nodes)
         nodes = list(self.pg_nodes) + [f for f in win_fids if f not in known]
         idx = {f: i for i, f in enumerate(nodes)}
-        edges = [e for e in self.pg_edges if e[0] in idx and e[1] in idx]
+        edges = [e for e in self.pg_edges if e.fi in idx and e.fj in idx]
         if not edges:
             return None
         # Pad to buckets so repeated exports reuse the compiled program.
@@ -355,11 +434,10 @@ class Estimator:
         rel_t = np.zeros((pc, 3), np.float32)
         w = np.zeros((pc, 6), np.float32)
         ev = np.zeros(pc, bool)
-        for k, (fi, fj, rr, rt, wt, wr) in enumerate(edges):
-            ei[k], ej[k] = idx[fi], idx[fj]
-            rel_r[k], rel_t[k] = rr, rt
-            w[k, :3] = wt
-            w[k, 3:] = wr
+        for k, e in enumerate(edges):
+            ei[k], ej[k] = idx[e.fi], idx[e.fj]
+            rel_r[k], rel_t[k] = e.rel_r, e.rel_t
+            w[k] = e.w_sqrt
             ev[k] = True
         res = pg_mod.optimize_pose_graph(
             jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei), jnp.asarray(ej),
@@ -396,13 +474,28 @@ class Estimator:
         self.traj_rel = [
             None if e is None else (e[0], e[1], e[2] * s) for e in self.traj_rel
         ]
-        # Pose-graph edges are relative too: rotations invariant,
-        # translations scale by s (node initial poses come from
-        # kf_pose_log, transformed above).
-        self.pg_edges = [
-            (fi, fj, rr, rt * s, wt, wr)
-            for (fi, fj, rr, rt, wt, wr) in self.pg_edges
-        ]
+        # Pose-graph edges are relative too: rotations invariant.
+        # Visual relatives' translations scale by s. IMU odometry edges
+        # do NOT — their dP and gravity terms are metric accelerometer
+        # measurements; only the v0*dt kinematic term tracks the
+        # rescaled world. Re-derive those exactly from the stored
+        # pieces: v0' = s R_gw v0, R0' = R_gw R0, g unchanged (the
+        # world is gravity-aligned after the transform, and
+        # self.gravity_w stays canonical).
+        g = np.asarray(self.gravity_w)
+
+        def xf(e: PgEdge) -> PgEdge:
+            if e.kind != "imu":
+                return dataclasses.replace(e, rel_t=e.rel_t * s)
+            v0 = s * (r_gw @ e.v0)
+            r0 = r_gw @ e.r0
+            t_rel = r0.T @ (v0 * e.dt + 0.5 * g * e.dt * e.dt) + e.dp
+            return dataclasses.replace(
+                e, rel_t=np.asarray(t_rel, np.float32),
+                v0=np.asarray(v0, np.float32), r0=np.asarray(r0, np.float32),
+            )
+
+        self.pg_edges = [xf(e) for e in self.pg_edges]
         if self.last_kf_capture is not None:
             kr, kp = self.last_kf_capture
             self.last_kf_capture = (r_gw @ kr, t_anchor + (r_gw @ kp - t_anchor) * s)
@@ -997,8 +1090,15 @@ class Estimator:
         state["last_kf_capture"] = self.last_kf_capture
         state["pg_nodes"] = list(self.pg_nodes)
         state["pg_edges"] = [
-            {"i": fi, "j": fj, "r": rr, "t": rt, "wt": wt, "wr": wr}
-            for (fi, fj, rr, rt, wt, wr) in self.pg_edges
+            {
+                "i": e.fi, "j": e.fj, "r": e.rel_r, "t": e.rel_t,
+                "w": e.w_sqrt, "kind": e.kind,
+                **(
+                    {"v0": e.v0, "r0": e.r0, "dt": e.dt, "dp": e.dp}
+                    if e.kind == "imu" else {}
+                ),
+            }
+            for e in self.pg_edges
         ]
         return state
 
@@ -1031,9 +1131,29 @@ class Estimator:
             else (np.asarray(cap_kf[0]), np.asarray(cap_kf[1]))
         )
         self.pg_nodes = [int(f) for f in state.get("pg_nodes", [])]
+
+        def _edge(e: dict) -> PgEdge:
+            if "w" not in e:  # pre-round-4 checkpoint: scalar wt/wr pair
+                w = np.concatenate(
+                    [np.full(3, float(e["wt"])), np.full(3, float(e["wr"]))]
+                ).astype(np.float32)
+                return PgEdge(int(e["i"]), int(e["j"]), np.asarray(e["r"]),
+                              np.asarray(e["t"]), w)
+            kind = str(e.get("kind", "vis"))
+            extra = (
+                {
+                    "v0": np.asarray(e["v0"]), "r0": np.asarray(e["r0"]),
+                    "dt": float(e["dt"]), "dp": np.asarray(e["dp"]),
+                }
+                if kind == "imu" else {}
+            )
+            return PgEdge(
+                int(e["i"]), int(e["j"]), np.asarray(e["r"]),
+                np.asarray(e["t"]), np.asarray(e["w"]), kind, **extra,
+            )
+
         self.pg_edges = [
-            (int(e["i"]), int(e["j"]), np.asarray(e["r"]), np.asarray(e["t"]),
-             float(e["wt"]), float(e["wr"]))
+            _edge(e)
             for e in state.get("pg_edges", [])
         ]
 
