@@ -273,7 +273,7 @@ def bench_pipeline_fps():
         subprocess.run(
             [sys.executable, os.path.join(root, "tools", "make_synthetic_dataset.py"),
              seq, "--frames", "60", "--width", "960", "--height", "480",
-             "--texture", "--pixel-noise", "0.2"],
+             "--texture", "--pixel-noise", "0.02"],
             env=env, check=True, capture_output=True,
         )
 

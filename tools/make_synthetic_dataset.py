@@ -97,6 +97,20 @@ def main(argv=None) -> int:
                    "footage puts the KLT front end in")
     p.add_argument("--texture-radius", type=float, default=6.0,
                    help="texture sphere radius in metres")
+    # ---- photometric nuisances (VERDICT r3 Missing #1: real 360
+    # footage has exposure change, motion blur, vignetting, sensor
+    # noise — FeatureTracker.cpp:208-251 KLT must survive them) ----
+    p.add_argument("--exposure", type=float, default=0.0,
+                   help="per-frame exposure gain amplitude (0.2 -> "
+                   "gain swings x0.8..x1.2 over the sequence)")
+    p.add_argument("--exposure-bias", type=float, default=0.0,
+                   help="per-frame additive black-level swing amplitude")
+    p.add_argument("--motion-blur", type=float, default=0.0,
+                   help="blur length in px per (rad/s) of angular rate "
+                   "(horizontal ERP streak; ~exposure_time * width/2pi)")
+    p.add_argument("--vignette", type=float, default=0.0,
+                   help="latitude falloff strength: poles darkened by "
+                   "this fraction (stitched-360 illumination rolloff)")
     args = p.parse_args(argv)
 
     import jax
@@ -180,6 +194,19 @@ def main(argv=None) -> int:
             args.seed + 77, 2 * args.height, 2 * args.width, octaves=6
         )
 
+    # latitude-dependent illumination rolloff (optical, frame-constant)
+    vignette_row = None
+    if args.vignette > 0:
+        lat = (np.arange(args.height, dtype=np.float32) + 0.5) / args.height - 0.5
+        vignette_row = (1.0 - args.vignette * (2.0 * np.abs(lat)) ** 2)[:, None]
+
+    # per-frame exposure: slow sinusoidal gain/black-level drift with a
+    # random phase (auto-exposure hunting on real rigs)
+    ph_g, ph_b = rng.uniform(0, 2 * np.pi, 2)
+    k_arr = np.arange(args.frames, dtype=np.float32)
+    gains = 1.0 + args.exposure * np.sin(2 * np.pi * k_arr / 23.0 + ph_g)
+    biases = args.exposure_bias * np.sin(2 * np.pi * k_arr / 17.0 + ph_b)
+
     for k, fi in enumerate(frame_idx):
         if args.texture:
             img = np.asarray(
@@ -193,11 +220,26 @@ def main(argv=None) -> int:
             img = np.asarray(
                 synthetic.render_point_image(pts_t, r_wb[fi], p_w[fi], args.width, args.height)
             )
+        # optical chain order: exposure-time integration (motion blur)
+        # -> lens/stitch rolloff (vignette) -> electronic gain/offset
+        # -> sensor noise -> quantization clip
+        if args.motion_blur > 0:
+            # streak along u (yaw dominates ERP flow); length from the
+            # frame's angular speed. u wraps (ERP is periodic).
+            w_speed = float(np.linalg.norm(rows[fi, 4:7]))
+            blur_len = int(np.clip(round(w_speed * args.motion_blur), 1, 31))
+            if blur_len > 1:
+                img = np.mean(
+                    [np.roll(img, s, axis=1)
+                     for s in range(-(blur_len // 2), blur_len - blur_len // 2)],
+                    axis=0,
+                ).astype(np.float32)
+        if vignette_row is not None:
+            img = img * vignette_row
+        img = img * gains[k] + biases[k]
         if args.pixel_noise > 0:
-            img = np.clip(
-                img + rng.standard_normal(img.shape).astype(np.float32) * args.pixel_noise,
-                0.0, 1.0,
-            )
+            img = img + rng.standard_normal(img.shape).astype(np.float32) * args.pixel_noise
+        img = np.clip(img, 0.0, 1.0)
         np.save(os.path.join(args.out_dir, "images", f"{k:06d}.npy"), img.astype(np.float32))
 
     tio.write_tum(

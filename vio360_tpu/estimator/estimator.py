@@ -40,6 +40,7 @@ from ..imu import preintegration as pre
 from ..solver import imu_init as imu_init_mod
 from ..solver import marginals
 from ..solver import pnp as pnp_mod
+from ..utils import hostsync
 from ..utils.logging import StageTimer, get_logger
 from . import fused, initializer, window
 from .fused import _pnp_inputs, _relabel_tracks
@@ -95,6 +96,23 @@ def _bad_landmark_slots(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad)
     dest = jnp.where(new_bad, jnp.clip(lm_slot, 0, cap - 1), cap)
     bad_id = jnp.full((cap,), -2, jnp.int32).at[dest].set(lm_feat_id, mode="drop")
     return track.ids == bad_id  # only if the slot still holds that feature
+
+
+@_pjit
+def _imu_edge_measurement(p0, bg, ba, kf_r0, kf_vel0, gravity_w):
+    """Bias-corrected IMU odometry measurement for a pose-graph edge,
+    entirely on device (one dispatch feeding the eviction event's
+    single packed fetch): first-order bias correction of the deltas
+    (IMUPreintegrator.cpp:276-308), the SE(3) translation prediction,
+    and the covariance diagonals the edge weight needs."""
+    dbg = bg - p0.bg
+    dba = ba - p0.ba
+    dr = p0.delta_r @ lie.so3_exp(p0.j_rg @ dbg)
+    dp = p0.delta_p + p0.j_pg @ dbg + p0.j_pa @ dba
+    dt = p0.dt_total
+    t_rel = kf_r0.T @ (kf_vel0 * dt + 0.5 * gravity_w * dt * dt) + dp
+    cov_d = jnp.diagonal(p0.cov)
+    return dr, dp, dt, t_rel, cov_d[0:3], cov_d[6:9]
 
 
 @_pjit
@@ -180,6 +198,11 @@ class Estimator:
         self.traj_rel: list[tuple[int, np.ndarray, np.ndarray] | None] = []
         self.last_kf_fid = -1
         self.last_kf_capture: tuple[np.ndarray, np.ndarray] | None = None
+        # Host-tracked keyframe count (== int(win.n_kf) by
+        # construction): every int(device_scalar) read costs a full
+        # relay round trip (utils/hostsync.py), and the KF count is
+        # host-decidable — add_keyframe saturates at max_keyframes.
+        self.n_kf_host = 0
 
         # ---- pose-graph store (solver/pose_graph.py) ----
         # Evicted keyframes leave BA's reach; SE(3) relative edges keep
@@ -257,7 +280,7 @@ class Estimator:
 
     def _record(self, timestamp: float, r: np.ndarray | None = None, p: np.ndarray | None = None):
         if r is None:
-            r, p = np.asarray(self.r_cur), np.asarray(self.t_cur)
+            r, p = hostsync.fetch_tree((self.r_cur, self.t_cur))
         self.trajectory.append((timestamp, r, p))
         if self.last_kf_capture is not None:
             kr, kp = self.last_kf_capture
@@ -267,17 +290,20 @@ class Estimator:
 
     def _log_window_poses(self):
         """Snapshot the window's current (BA-refined) keyframe poses into
-        the export log. One batched device->host transfer per call."""
-        n = int(self.win.n_kf)
+        the export log. ONE packed device->host transfer per call
+        (utils/hostsync.py). Returns the host copies (kf_id, kf_r, kf_t)
+        so callers reuse them instead of re-fetching."""
+        n = self.n_kf_host
         if n == 0:
-            return
-        kf_id, kf_r, kf_t = jax.device_get(
+            return None
+        kf_id, kf_r, kf_t = hostsync.fetch_tree(
             (self.win.kf_id[:n], self.win.kf_r[:n], self.win.kf_t[:n])
         )
         for i in range(n):
             fid = int(kf_id[i])
             if fid >= 0:
                 self.kf_pose_log[fid] = (np.asarray(kf_r[i]), np.asarray(kf_t[i]))
+        return kf_id, kf_r, kf_t
 
     def _record_pose_graph_eviction(self) -> None:
         """Capture SE(3) relative constraints for the about-to-be-evicted
@@ -287,14 +313,32 @@ class Estimator:
         odometry edge (Forster RSS'15 prediction with current bias /
         gravity / velocity estimates)."""
         pcfg = self.cfg.pose_graph
-        n = int(self.win.n_kf)
+        n = self.n_kf_host
         if n < 2:
             return
         m = min(n, 3)
-        kf_id, kf_r, kf_t, kf_vel, kf_time = jax.device_get((
-            self.win.kf_id[:m], self.win.kf_r[:m], self.win.kf_t[:m],
-            self.win.kf_vel[:m], self.win.kf_time[:m],
-        ))
+
+        # ONE packed device->host transfer for the whole eviction event
+        # (utils/hostsync.py): window slice + derived weights + the
+        # bias-corrected IMU odometry measurement (computed ON device by
+        # _imu_edge_measurement — the old host-side version paid a
+        # ~12-leaf preintegration fetch plus an eager so3_exp dispatch).
+        tree = {
+            "kf_id": self.win.kf_id[:m],
+            "kf_r": self.win.kf_r[:m],
+            "kf_t": self.win.kf_t[:m],
+            "kf_vel0": self.win.kf_vel[0],
+            "gravity": self.gravity_w,
+        }
+        if pcfg.cov_weighted:
+            tree["pair_w"] = self._pair_sqrt_info()
+        if self.imu_initialized and self.kf_preints:
+            tree["imu"] = _imu_edge_measurement(
+                self.kf_preints[0], self.bg, self.ba,
+                self.win.kf_r[0], self.win.kf_vel[0], self.gravity_w,
+            )
+        h = hostsync.fetch_tree(tree)
+        kf_id, kf_r, kf_t = h["kf_id"], h["kf_r"], h["kf_t"]
         fid0 = int(kf_id[0])
         if fid0 < 0:
             return
@@ -306,12 +350,12 @@ class Estimator:
             ).astype(np.float32)
 
         if pcfg.cov_weighted:
-            # One fused dispatch: marginal pose covariance of the
-            # converged window (Schur-reduced information inverted),
-            # propagated to the (0,1) and (0,2) relatives
-            # (solver/marginals.py). Fixed shape regardless of m; the
-            # second row is discarded when no skip edge is recorded.
-            w01, w02 = np.asarray(jax.device_get(self._pair_sqrt_info()))
+            # Marginal pose covariance of the converged window
+            # (Schur-reduced information inverted), propagated to the
+            # (0,1) and (0,2) relatives (solver/marginals.py). Fixed
+            # shape regardless of m; the second row is discarded when no
+            # skip edge is recorded.
+            w01, w02 = np.asarray(h["pair_w"])
         else:
             w01 = fallback(pcfg.vis_weight_t, pcfg.vis_weight_r)
             w02 = fallback(pcfg.skip_weight_t, pcfg.skip_weight_r)
@@ -326,25 +370,16 @@ class Estimator:
         if m >= 3 and int(kf_id[2]) >= 0:
             rr, rt = rel(0, 2)
             self.pg_edges.append(PgEdge(fid0, int(kf_id[2]), rr, rt, w02, "skip"))
-        if self.imu_initialized and self.kf_preints:
-            # kf_preints[0] preintegrates window pair (0, 1). Bias-correct
-            # the deltas first-order (IMUPreintegrator.cpp:276-308), then
-            # form the SE(3) odometry measurement:
+        if "imu" in h:
+            # kf_preints[0] preintegrates window pair (0, 1):
             #   R_rel = dR_corr,  t_rel = R0^T (v0 dt + 0.5 g dt^2) + dP_corr
-            p0 = jax.device_get(self.kf_preints[0])
-            dbg = np.asarray(self.bg) - np.asarray(p0.bg)
-            dba = np.asarray(self.ba) - np.asarray(p0.ba)
-            dr = np.asarray(p0.delta_r) @ np.asarray(
-                lie.so3_exp(jnp.asarray(np.asarray(p0.j_rg) @ dbg))
-            )
-            dp = np.asarray(p0.delta_p) + np.asarray(p0.j_pg) @ dbg + np.asarray(p0.j_pa) @ dba
-            dt = float(p0.dt_total)
+            # (bias correction first-order, IMUPreintegrator.cpp:276-308)
+            dr, dp, dt_arr, t_rel, cov_r_d, cov_p_d = h["imu"]
+            dt = float(dt_arr)
             if dt > 1e-6:
-                g = np.asarray(self.gravity_w)
-                t_rel = kf_r[0].T @ (kf_vel[0] * dt + 0.5 * g * dt * dt) + dp
                 if pcfg.cov_weighted:
-                    wt, wr = marginals.preint_edge_sqrt_info(
-                        p0.cov, dt, vel_sigma=pcfg.imu_vel_sigma,
+                    wt, wr = marginals.preint_edge_sqrt_info_diag(
+                        cov_r_d, cov_p_d, dt, vel_sigma=pcfg.imu_vel_sigma,
                         min_sigma_t=pcfg.min_sigma_t,
                         min_sigma_r=pcfg.min_sigma_r,
                     )
@@ -355,7 +390,7 @@ class Estimator:
                     PgEdge(
                         fid0, int(kf_id[1]), np.asarray(dr, np.float32),
                         np.asarray(t_rel, np.float32), w_imu, "imu",
-                        v0=np.asarray(kf_vel[0], np.float32),
+                        v0=np.asarray(h["kf_vel0"], np.float32),
                         r0=np.asarray(kf_r[0], np.float32),
                         dt=dt,
                         dp=np.asarray(dp, np.float32),
@@ -401,9 +436,11 @@ class Estimator:
         pcfg = self.cfg.pose_graph
         if not pcfg.enabled or not self.pg_nodes:
             return None
-        n = int(self.win.n_kf)
+        n = self.n_kf_host
+        if n == 0:
+            return None
         win_fids = [
-            int(f) for f in np.asarray(jax.device_get(self.win.kf_id[:n])) if f >= 0
+            int(f) for f in hostsync.fetch_tree(self.win.kf_id[:n]) if f >= 0
         ]
         known = set(self.pg_nodes)
         nodes = list(self.pg_nodes) + [f for f in win_fids if f not in known]
@@ -445,7 +482,7 @@ class Estimator:
             jnp.asarray(ev), jnp.asarray(fixed),
             max_iterations=pcfg.max_iterations,
         )
-        r_out, t_out = jax.device_get((res.r_wb, res.t_wb))
+        r_out, t_out = hostsync.fetch_tree((res.r_wb, res.t_wb))
         for f, i in idx.items():
             if not fixed[i]:
                 self.kf_pose_log[f] = (
@@ -458,9 +495,13 @@ class Estimator:
         (gravity-aligned, rescaled) world frame so the export stays in
         ONE frame across alignments. Anchored at the first keyframe like
         align_gravity_and_scale."""
-        r_gw = np.asarray(r_wg).T
-        s = float(scale)
-        t_anchor = r_gw @ np.asarray(self.win.kf_t[0])
+        r_gw, scale_h, kf_t0 = hostsync.fetch_tree(
+            (jnp.asarray(r_wg), jnp.asarray(scale, jnp.float32),
+             self.win.kf_t[0])
+        )
+        r_gw = r_gw.T
+        s = float(scale_h)
+        t_anchor = r_gw @ kf_t0
         self.trajectory = [
             (t, r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
             for (t, r, p) in self.trajectory
@@ -575,11 +616,16 @@ class Estimator:
                     self.t_bc,
                     cfg,
                 )
-            if bool(res.success):
+            # one packed fetch for the attempt's outcome scalars
+            ok_h, par_h, sf_h, nvp_h = hostsync.fetch_tree(
+                (res.success, res.median_parallax, res.scale_factor,
+                 res.num_valid_points)
+            )
+            if bool(ok_h):
                 self._seed_from_init(first, last, res, timestamp)
                 diag = {
-                    "median_parallax": float(res.median_parallax),
-                    "scale_factor": float(res.scale_factor),
+                    "median_parallax": float(par_h),
+                    "scale_factor": float(sf_h),
                 }
                 has_imu = any(len(s["imu"]) for s in self.snapshots)
                 if has_imu:
@@ -601,7 +647,7 @@ class Estimator:
                 self._record(timestamp)
                 return self._result(
                     timestamp, "initialized", True, n_tracked,
-                    int(res.num_valid_points), diag,
+                    int(nvp_h), diag,
                 )
         self._record(timestamp)
         return self._result(timestamp, "bootstrapping", False, n_tracked, 0, {})
@@ -620,6 +666,7 @@ class Estimator:
             jnp.asarray(last["time"], jnp.float32), jnp.asarray(last["frame_id"]),
             last["uv"], last["ids"],
         )
+        self.n_kf_host = 2
         self.win = window.add_landmarks(
             self.win, res.points_w, res.point_valid, last["ids"], self.win.kf_id[0]
         )
@@ -633,18 +680,22 @@ class Estimator:
             backend=cfg.solver.backend,
             dist_fn=self._dist_ba_fn,
         )
-        i_last = int(self.win.n_kf) - 1
+        i_last = self.n_kf_host - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.initialized = True
         self.last_kf_index = i_last
         self.last_kf_fid = int(last["frame_id"])
-        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
-        self._log_window_poses()
+        logged = self._log_window_poses()
+        _, kf_r_h, kf_t_h = logged
+        self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
+        nvp_h, c0_h, c1_h = hostsync.fetch_tree(
+            (res.num_valid_points, ba_res.initial_cost, ba_res.final_cost)
+        )
         log.info(
             "Init success: %d landmarks, BA cost %.2f -> %.2f",
-            int(res.num_valid_points), float(ba_res.initial_cost), float(ba_res.final_cost),
+            int(nvp_h), float(c0_h), float(c1_h),
         )
 
     # ------------------------------------------------------------------
@@ -751,6 +802,7 @@ class Estimator:
             self.kf_preints.append(
                 self._preintegrate(s["imu"], self.bg, self.ba, cfg.imu.max_samples_per_frame)
             )
+        self.n_kf_host = min(n, cfg.window.max_keyframes)
 
         self.win, _ = window.window_ba(
             self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
@@ -760,14 +812,14 @@ class Estimator:
             backend=cfg.solver.backend,
             dist_fn=self._dist_ba_fn,
         )
-        i_last = int(self.win.n_kf) - 1
+        i_last = self.n_kf_host - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.imu_since_last_kf = []
         self.last_kf_fid = int(snaps[-1]["frame_id"])
-        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
-        self._log_window_poses()
+        _, kf_r_h, kf_t_h = self._log_window_poses()
+        self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
 
     def _stacked_preints(self):
         """Pad host preintegration list to the fixed max_kf-1 pair count."""
@@ -787,7 +839,7 @@ class Estimator:
 
     def _try_initialize_imu(self) -> bool:
         cfg = self.cfg
-        k = int(self.win.n_kf)
+        k = self.n_kf_host
         if k < 3 or len(self.kf_preints) != k - 1:
             return False
         stacked, pair_valid = self._stacked_preints()
@@ -795,11 +847,14 @@ class Estimator:
             self.win.kf_r, self.win.kf_t, stacked, pair_valid,
             gravity_magnitude=cfg.imu.gravity_magnitude,
         )
-        if not bool(res.success):
-            log.info("IMU init failed (cost1=%.3g)", float(res.stage1_cost))
+        ok_h, cost1_h, scale_h, g_h, bg_h = hostsync.fetch_tree(
+            (res.success, res.stage1_cost, res.scale, res.gravity_w, res.bg)
+        )
+        if not bool(ok_h):
+            log.info("IMU init failed (cost1=%.3g)", float(cost1_h))
             return False
         r_wg = imu_init_mod.gravity_dir_to_rotation(res.gravity_dir)
-        self._transform_history(r_wg, res.scale)
+        self._transform_history(r_wg, scale_h)
         kf_r2, kf_t2, vel2, pts2 = imu_init_mod.align_gravity_and_scale(
             self.win.kf_r, self.win.kf_t, res.velocities, self.win.lm_pos,
             r_wg, res.scale,
@@ -818,19 +873,19 @@ class Estimator:
         self.kf_preints = [
             pre.update_bias(p, self.bg, self.ba) for p in self.kf_preints
         ]
-        i_last = int(self.win.n_kf) - 1
+        i_last = self.n_kf_host - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.vel_cur = self.win.kf_vel[i_last]
         self.imu_initialized = True
+        _, kf_r_h, kf_t_h = self._log_window_poses()
         if self.last_kf_capture is not None:
-            self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
-        self._log_window_poses()
+            self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
         log.info(
             "IMU init: scale=%.4f g=(%.2f,%.2f,%.2f) bg=%s",
-            float(res.scale), *[float(x) for x in res.gravity_w],
-            np.round(np.asarray(res.bg), 4),
+            float(scale_h), *[float(x) for x in g_h],
+            np.round(bg_h, 4),
         )
         return True
 
@@ -859,15 +914,16 @@ class Estimator:
                 jnp.asarray(s), jnp.asarray(m), jnp.asarray(n > 0),
                 self.t_bc[:3, :3], self.r_cb, self.t_cb, cfg, use_imu,
             )
-            b = jax.device_get(bundle)  # the frame's ONE host sync
+            # the frame's ONE host sync: a single packed [20] buffer
+            b = fused.unpack_bundle(np.asarray(bundle))
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = r_new, t_new
         self.vel_cur = v_new
 
-        pnp_ok = bool(b["success"])
-        is_kf = bool(b["is_kf"])
-        n_inl = int(b["n_inliers"])
-        r_np, t_np = np.asarray(b["r"]), np.asarray(b["t"])
+        pnp_ok = b["success"]
+        is_kf = b["is_kf"]
+        n_inl = b["n_inliers"]
+        r_np, t_np = b["r"], b["t"]
         diag = {
             "pnp_cost": float(b["pnp_cost"]),
             "parallax": float(b["parallax"]),
@@ -876,10 +932,10 @@ class Estimator:
         }
 
         if is_kf:
-            self._create_keyframe(timestamp, diag)
             # keyframe pose was refined by BA — record the updated one
-            self._record(timestamp)
-            r_np, t_np = np.asarray(self.r_cur), np.asarray(self.t_cur)
+            # (host copy returned from the KF event's single transfer)
+            r_np, t_np = self._create_keyframe(timestamp, diag)
+            self._record(timestamp, r_np, t_np)
         else:
             self._record(timestamp, r_np, t_np)
         state = "tracking" if pnp_ok else "tracking_lost"
@@ -892,7 +948,7 @@ class Estimator:
         cfg = self.cfg
         zeros = jnp.zeros(3)
         ids = jnp.where(self.track.valid, self.track.ids, -1)
-        was_full = int(self.win.n_kf) == cfg.window.max_keyframes
+        was_full = self.n_kf_host == cfg.window.max_keyframes
         if was_full and cfg.pose_graph.enabled:
             self._record_pose_graph_eviction()
         self.win = window.add_keyframe(
@@ -900,6 +956,7 @@ class Estimator:
             jnp.asarray(timestamp, jnp.float32), jnp.asarray(self.frame_id),
             self.track.uv, ids,
         )
+        self.n_kf_host = min(self.n_kf_host + 1, cfg.window.max_keyframes)
         if self.imu_initialized:
             # KF-to-KF preintegration from the accumulated samples
             # (Estimator.cpp:645-669)
@@ -938,9 +995,9 @@ class Estimator:
             new_bg, new_ba = vres.bg, vres.ba
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
             self.bg, self.ba = new_bg, new_ba
-            ba_cost, ba_inl = float(vres.final_cost), int(vres.num_inliers)
+            cost_dev, inl_dev = vres.final_cost, vres.num_inliers
             self._refine_scale_gravity(diag)
-            i_last = int(self.win.n_kf) - 1
+            i_last = self.n_kf_host - 1
             self.vel_cur = self.win.kf_vel[i_last]
         else:
             with self._stage("ba"):
@@ -953,7 +1010,7 @@ class Estimator:
                     backend=cfg.solver.backend,
                     dist_fn=self._dist_ba_fn,
                 )
-            ba_cost, ba_inl = float(ba_res.final_cost), int(ba_res.num_inliers)
+            cost_dev, inl_dev = ba_res.final_cost, ba_res.num_inliers
         # Feed the BA bad-marking back into the tracker before
         # triangulating: re-id the bad landmark's track so it can't
         # immediately re-seed from the same corrupted snapshots
@@ -970,25 +1027,41 @@ class Estimator:
                 self.win, self.t_bc, cfg.camera.width, cfg.camera.height,
                 live_ids=self.track.ids,
             )
-        if int(n_dropped):
-            log.warning(
-                "landmark slots saturated: dropped %d new landmarks "
-                "(capacity %d)", int(n_dropped), self.win.max_lm,
-            )
-        i_last = int(self.win.n_kf) - 1
+        i_last = self.n_kf_host - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
         self.last_kf_fid = self.frame_id
-        self.last_kf_capture = (np.asarray(self.r_cur), np.asarray(self.t_cur))
-        self._log_window_poses()
+        # ONE packed device->host transfer for the whole keyframe event:
+        # solver scalars + landmark stats + the refined window poses for
+        # the export log (each separate int()/float()/device_get here
+        # previously cost a full relay round trip — ~12 per keyframe,
+        # the dominant end-to-end pipeline cost; utils/hostsync.py).
+        n = self.n_kf_host
+        scal, kf_id_h, kf_r_h, kf_t_h = hostsync.fetch_tree((
+            (cost_dev, inl_dev, n_new, n_dropped,
+             jnp.sum(self.win.lm_alive),
+             jnp.sum(self.win.lm_marg & self.win.lm_alive)),
+            self.win.kf_id[:n], self.win.kf_r[:n], self.win.kf_t[:n],
+        ))
+        for i in range(n):
+            fid = int(kf_id_h[i])
+            if fid >= 0:
+                self.kf_pose_log[fid] = (kf_r_h[i], kf_t_h[i])
+        self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
+        if int(scal[3]):
+            log.warning(
+                "landmark slots saturated: dropped %d new landmarks "
+                "(capacity %d)", int(scal[3]), self.win.max_lm,
+            )
         diag.update(
-            n_new_landmarks=int(n_new),
-            n_lm_dropped=int(n_dropped),
-            n_lm_alive=int(jnp.sum(self.win.lm_alive)),
-            n_lm_marginalized=int(jnp.sum(self.win.lm_marg & self.win.lm_alive)),
-            ba_cost=ba_cost,
-            ba_inliers=ba_inl,
+            n_new_landmarks=int(scal[2]),
+            n_lm_dropped=int(scal[3]),
+            n_lm_alive=int(scal[4]),
+            n_lm_marginalized=int(scal[5]),
+            ba_cost=float(scal[0]),
+            ba_inliers=int(scal[1]),
         )
+        return kf_r_h[i_last], kf_t_h[i_last]
 
     def _refine_scale_gravity(self, diag):
         """Periodic inertial-only re-estimation of scale + gravity on the
@@ -1000,7 +1073,7 @@ class Estimator:
         cfg = self.cfg
         if self.scale_refine_count >= cfg.window.max_scale_refines:
             return
-        k = int(self.win.n_kf)
+        k = self.n_kf_host
         if k < 3 or len(self.kf_preints) != k - 1:
             return
         stacked, pair_valid = self._stacked_preints()
@@ -1008,14 +1081,15 @@ class Estimator:
             self.win.kf_r, self.win.kf_t, stacked, pair_valid,
             gravity_magnitude=cfg.imu.gravity_magnitude,
         )
-        s = float(res.scale)
-        if not bool(res.success) or not (0.5 < s < 2.0):
+        ok_h, s_arr = hostsync.fetch_tree((res.success, res.scale))
+        s = float(s_arr)
+        if not bool(ok_h) or not (0.5 < s < 2.0):
             return
         # Apply ONLY the gravity/scale correction; biases stay owned by
         # VIBA (feeding stage-2 biases back into the preints here lets a
         # bias/scale degeneracy bake itself into the map — observed).
         r_wg = imu_init_mod.gravity_dir_to_rotation(res.gravity_dir)
-        self._transform_history(r_wg, res.scale)
+        self._transform_history(r_wg, s)
         kf_r2, kf_t2, vel2, pts2 = imu_init_mod.align_gravity_and_scale(
             self.win.kf_r, self.win.kf_t, self.win.kf_vel, self.win.lm_pos,
             r_wg, res.scale,
@@ -1037,12 +1111,14 @@ class Estimator:
         self, timestamp, state, is_kf, n_tracked, n_inl, diag,
         r: np.ndarray | None = None, t: np.ndarray | None = None,
     ) -> FrameResult:
+        if r is None:
+            r, t = hostsync.fetch_tree((self.r_cur, self.t_cur))
         return FrameResult(
             frame_id=self.frame_id,
             timestamp=timestamp,
             state=state,
-            r_wb=np.asarray(self.r_cur) if r is None else r,
-            t_wb=np.asarray(self.t_cur) if t is None else t,
+            r_wb=np.asarray(r),
+            t_wb=np.asarray(t),
             is_keyframe=is_kf,
             n_tracked=n_tracked,
             n_pnp_inliers=n_inl,
@@ -1110,6 +1186,8 @@ class Estimator:
         self.last_kf_index = state["last_kf_index"]
         for name in self._ARRAY_STATE:
             setattr(self, name, ckpt.device_put_tree(state[name]))
+        # host-tracked keyframe count (one fetch at restore time)
+        self.n_kf_host = int(np.asarray(self.win.n_kf))
         self.trajectory = [
             (e["t"], np.asarray(e["r"]), np.asarray(e["p"])) for e in state["trajectory"]
         ]

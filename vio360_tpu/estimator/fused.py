@@ -206,16 +206,38 @@ def tracking_step(
         starving = jnp.asarray(False)
     is_kf = res.success & (parallax_kf | starving)
 
-    bundle = {
-        "r": res.r_wb,
-        "t": res.t_wb,
-        "success": res.success,
-        "is_kf": is_kf,
-        "n_inliers": n_inl,
-        "n_tracked": tdiag["n_tracked"],
-        "pnp_cost": res.final_cost,
-        "parallax": par,
-        "n_shared": n_shared,
-        "n_active": n_active,
-    }
+    # ONE packed [20] f32 vector: the relay charges a full round trip
+    # PER FETCHED ARRAY (measured ~5-60 ms each, utils/hostsync.py), so
+    # the per-frame scalar record must be a single buffer, not a
+    # 10-leaf dict. Layout: see unpack_bundle.
+    bundle = jnp.concatenate([
+        jnp.stack([
+            res.success.astype(jnp.float32),
+            is_kf.astype(jnp.float32),
+            n_inl.astype(jnp.float32),
+            tdiag["n_tracked"].astype(jnp.float32),
+            res.final_cost,
+            par,
+            n_shared.astype(jnp.float32),
+            n_active.astype(jnp.float32),
+        ]),
+        res.r_wb.ravel(),
+        res.t_wb,
+    ])
     return track, key, res.r_wb, res.t_wb, v_pred, bundle
+
+
+def unpack_bundle(b) -> dict:
+    """Host-side unpack of tracking_step's packed [20] record."""
+    return {
+        "success": bool(b[0]),
+        "is_kf": bool(b[1]),
+        "n_inliers": int(b[2]),
+        "n_tracked": int(b[3]),
+        "pnp_cost": float(b[4]),
+        "parallax": float(b[5]),
+        "n_shared": int(b[6]),
+        "n_active": int(b[7]),
+        "r": b[8:17].reshape(3, 3).copy(),
+        "t": b[17:20].copy(),
+    }

@@ -165,30 +165,47 @@ def window_relpose_sqrt_info(
     return jax.vmap(one)(pair_i, pair_j)
 
 
-def preint_edge_sqrt_info(
-    cov15,  # [15,15] preintegration covariance (theta, v, p, bg, ba)
+def preint_edge_sqrt_info_diag(
+    cov_r_diag,  # [3] rotation covariance diagonal (theta block)
+    cov_p_diag,  # [3] position covariance diagonal (p block)
     dt: float,
     vel_sigma: float = 0.05,  # m/s — velocity estimate uncertainty
     min_sigma_t: float = 1e-3,
     min_sigma_r: float = 5e-4,
 ) -> tuple:
     """Diagonal sqrt-information (w_t [3], w_r [3]) for an IMU odometry
-    pose-graph edge from the preintegration covariance
-    (imu/preintegration.py: 15x15 ordered theta, v, p, bg, ba).
+    pose-graph edge from the preintegration covariance diagonals.
 
     The edge translation t_rel = R0^T (v0 dt + g dt^2/2) + dP carries
     dP's propagated covariance PLUS the window velocity estimate's
     uncertainty through the v0*dt term (velocity covariance is not
     tracked by VIBA; ``vel_sigma`` is its configured prior scale).
-    Host-side numpy — runs once per eviction on [15,15].
+    Host-side numpy — runs once per eviction.
     """
     import numpy as np
 
-    c = np.asarray(cov15)
-    var_r = np.clip(np.diagonal(c)[0:3], min_sigma_r**2, None)
-    var_t = np.diagonal(c)[6:9] + (vel_sigma * dt) ** 2
+    var_r = np.clip(np.asarray(cov_r_diag, np.float64), min_sigma_r**2, None)
+    var_t = np.asarray(cov_p_diag, np.float64) + (vel_sigma * dt) ** 2
     var_t = np.clip(var_t, min_sigma_t**2, None)
     return (
         (1.0 / np.sqrt(var_t)).astype(np.float32),
         (1.0 / np.sqrt(var_r)).astype(np.float32),
+    )
+
+
+def preint_edge_sqrt_info(
+    cov15,  # [15,15] preintegration covariance (theta, v, p, bg, ba)
+    dt: float,
+    vel_sigma: float = 0.05,
+    min_sigma_t: float = 1e-3,
+    min_sigma_r: float = 5e-4,
+) -> tuple:
+    """See preint_edge_sqrt_info_diag — convenience form on the full
+    [15,15] (imu/preintegration.py ordering theta, v, p, bg, ba)."""
+    import numpy as np
+
+    d = np.diagonal(np.asarray(cov15))
+    return preint_edge_sqrt_info_diag(
+        d[0:3], d[6:9], dt, vel_sigma=vel_sigma,
+        min_sigma_t=min_sigma_t, min_sigma_r=min_sigma_r,
     )
