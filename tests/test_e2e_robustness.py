@@ -205,11 +205,14 @@ class TestPhotometricNuisances:
 
     @pytest.fixture(scope="class")
     def photo_run(self, tmp_path_factory):
+        # motion-blur 3 px/(rad/s) ~= a 40 ms shutter at this ERP
+        # resolution (blur_px = t_exp * width/2pi * rate) — pessimistic
+        # for real 360 rigs; 12 would imply a 1/6 s shutter.
         seq = generate(
             tmp_path_factory, "vio_photometric",
             ["--frames", "60", "--seed", "23", "--texture",
              "--exposure", "0.15", "--exposure-bias", "0.04",
-             "--motion-blur", "12", "--vignette", "0.35",
+             "--motion-blur", "3", "--vignette", "0.35",
              "--pixel-noise", "0.02"],
         )
         return run_pipeline(seq)

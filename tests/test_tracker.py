@@ -119,3 +119,30 @@ class TestGridOps:
         keep = tracker._remove_clustered(uv, valid, 480, 240, 10, 5)
         assert not bool(keep[:6].any())
         assert bool(keep[6:].all())
+
+
+def test_row_gain_compensation_restores_brightness_constancy():
+    """Exposure-gain x vignette between frames is exactly removed by
+    per-row gain matching (frontend/tracker._row_gain_compensate)."""
+    import numpy as np
+
+    from vio360_tpu.frontend.tracker import _row_gain_compensate
+
+    rng = np.random.default_rng(3)
+    ref = jnp.asarray(rng.uniform(0.2, 0.8, (64, 128)).astype(np.float32))
+    lat = np.abs(np.linspace(-1, 1, 64, dtype=np.float32))
+    vign = (1.0 - 0.35 * lat**2)[:, None]
+    img = ref * jnp.asarray(vign) * 1.12  # vignette + 12% gain
+    out = _row_gain_compensate(ref, img)
+    # latitude box-smoothing leaves a small curvature/edge bias on the
+    # quadratic vignette profile; exact inversion is not the contract.
+    # The outermost rows sit inside the polar exclusion band (no
+    # features live there), so the tight bound applies to the interior.
+    err = jnp.abs(out - ref)
+    assert float(err[8:-8].max()) < 5e-3
+    assert float(err.max()) < 5e-2
+
+    # clamp: a pathological 10x gain cannot be fully inverted
+    out2 = _row_gain_compensate(ref, ref * 10.0)
+    g_eff = float(jnp.mean(out2 / ref))
+    assert 4.9 < g_eff < 5.1  # 10x clamped to x0.5 -> 5x remains

@@ -74,6 +74,12 @@ class OpticalFlowConfig:
     # guess_from_imu=True (IMU initialized). Measured: -0.3 ms device
     # time per frame. Set False to always run the full pyramid.
     guess_skips_top_level: bool = True
+    # Per-row (latitude) gain matching of the current frame to the
+    # previous one before LK (frontend/tracker._row_gain_compensate):
+    # removes auto-exposure x vignetting brightness drift, which
+    # violates LK's brightness-constancy with a vertical bias (measured
+    # to corrupt gravity init). No reference counterpart.
+    photometric_compensation: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +213,18 @@ class ImuConfig:
     # Static capacity of per-interval sample buffers (fixed-shape scan).
     max_samples_per_frame: int = 64
     max_samples_per_keyframe: int = 512
+    # IMU-init quality gate: reject (and retry at the next keyframe) an
+    # initialization whose stage-1 gravity/scale residual per keyframe
+    # pair exceeds this. Measured discrimination on the photometric
+    # nuisance suite: healthy inits ~2.6e-6 per pair, blur-corrupted
+    # ~9e-4 (round 4). New vs the reference, which accepts its one-shot
+    # init unconditionally (Optimizer.cpp:972-1257).
+    init_max_cost_per_pair: float = 1e-4
+    # Split-half cross-validation: the gravity directions solved on the
+    # window's two halves must agree within this angle. A corrupted or
+    # excitation-poor window can FIT stage-1 well with a wrong gravity;
+    # disagreement between independent halves exposes it.
+    init_max_gravity_split_deg: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -216,6 +216,7 @@ class Estimator:
 
         # ---- inertial state (Estimator.cpp:239-471, 1320-1557) ----
         self.imu_initialized = False
+        self.has_imu_stream = False  # any IMU rows seen yet
         self.scale_refine_count = 0  # ORB-SLAM3-style periodic refinements
         self.vel_cur = jnp.zeros(3)
         self.bg = jnp.zeros(3)
@@ -563,6 +564,7 @@ class Estimator:
         )
         if len(imu_rows):
             self.imu_since_last_kf.append(imu_rows)
+            self.has_imu_stream = True
         self.last_imu_rows = imu_rows
         self.last_timestamp = timestamp
 
@@ -847,11 +849,47 @@ class Estimator:
             self.win.kf_r, self.win.kf_t, stacked, pair_valid,
             gravity_magnitude=cfg.imu.gravity_magnitude,
         )
-        ok_h, cost1_h, scale_h, g_h, bg_h = hostsync.fetch_tree(
-            (res.success, res.stage1_cost, res.scale, res.gravity_w, res.bg)
+        # Split-half cross-validation of the gravity estimate: solve on
+        # the window's first and second halves independently and demand
+        # directional agreement. The stage-1 residual alone cannot
+        # discriminate — a corrupted window can FIT well with a wrong
+        # gravity (measured: blur-epoch inits reached 26° gravity error
+        # at per-pair residuals under any usable threshold).
+        n_pairs = max(len(self.kf_preints), 1)
+        half = jnp.arange(cfg.window.max_keyframes - 1) < (n_pairs // 2)
+        res_a = imu_init_mod.solve_imu_init(
+            self.win.kf_r, self.win.kf_t, stacked, pair_valid & half,
+            gravity_magnitude=cfg.imu.gravity_magnitude,
         )
-        if not bool(ok_h):
-            log.info("IMU init failed (cost1=%.3g)", float(cost1_h))
+        res_b = imu_init_mod.solve_imu_init(
+            self.win.kf_r, self.win.kf_t, stacked, pair_valid & ~half,
+            gravity_magnitude=cfg.imu.gravity_magnitude,
+        )
+        ok_h, cost1_h, scale_h, g_h, bg_h, ok_a, ok_b, g_a, g_b = hostsync.fetch_tree(
+            (res.success, res.stage1_cost, res.scale, res.gravity_w, res.bg,
+             res_a.success, res_b.success, res_a.gravity_w, res_b.gravity_w)
+        )
+        # Quality gates (new vs the reference's unconditional one-shot
+        # init, Optimizer.cpp:972-1257): (a) gross stage-1 residual —
+        # a corrupted visual window; (b) split-half gravity agreement —
+        # overfit/unobservable gravity. Reject and retry at the next
+        # keyframe (_create_keyframe) on fresher window data.
+        per_pair = float(cost1_h) / n_pairs
+        split_deg = np.inf
+        if bool(ok_a) and bool(ok_b):
+            ca = float(
+                np.dot(g_a, g_b) / max(np.linalg.norm(g_a) * np.linalg.norm(g_b), 1e-9)
+            )
+            split_deg = float(np.degrees(np.arccos(np.clip(ca, -1.0, 1.0))))
+        if (
+            not bool(ok_h)
+            or per_pair > cfg.imu.init_max_cost_per_pair
+            or split_deg > cfg.imu.init_max_gravity_split_deg
+        ):
+            log.info(
+                "IMU init rejected (cost1=%.3g/pair %.3g, gravity split %.1f deg)",
+                float(cost1_h), per_pair, split_deg,
+            )
             return False
         r_wg = imu_init_mod.gravity_dir_to_rotation(res.gravity_dir)
         self._transform_history(r_wg, scale_h)
@@ -957,9 +995,11 @@ class Estimator:
             self.track.uv, ids,
         )
         self.n_kf_host = min(self.n_kf_host + 1, cfg.window.max_keyframes)
-        if self.imu_initialized:
+        if self.imu_initialized or self.has_imu_stream:
             # KF-to-KF preintegration from the accumulated samples
-            # (Estimator.cpp:645-669)
+            # (Estimator.cpp:645-669). Also maintained while IMU init is
+            # pending (rejected by the quality gate) so a later retry
+            # has the full window's preintegrations.
             rows = (
                 np.concatenate(self.imu_since_last_kf)
                 if self.imu_since_last_kf
@@ -996,6 +1036,7 @@ class Estimator:
             self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
             self.bg, self.ba = new_bg, new_ba
             cost_dev, inl_dev = vres.final_cost, vres.num_inliers
+            solver_res = vres
             self._refine_scale_gravity(diag)
             i_last = self.n_kf_host - 1
             self.vel_cur = self.win.kf_vel[i_last]
@@ -1011,11 +1052,18 @@ class Estimator:
                     dist_fn=self._dist_ba_fn,
                 )
             cost_dev, inl_dev = ba_res.final_cost, ba_res.num_inliers
+            solver_res = ba_res
+            if self.has_imu_stream and len(self.kf_preints) == self.n_kf_host - 1:
+                # IMU init was rejected by the quality gate at bootstrap
+                # — retry on the fresh (BA-refined) window until a clean
+                # epoch passes the gate.
+                if self._try_initialize_imu():
+                    diag["imu_initialized"] = True
         # Feed the BA bad-marking back into the tracker before
         # triangulating: re-id the bad landmark's track so it can't
         # immediately re-seed from the same corrupted snapshots
         # (Optimizer.cpp:446-456 SetBad + Estimator.cpp:1159,1192).
-        new_bad = vres.new_bad if self.imu_initialized else ba_res.new_bad
+        new_bad = solver_res.new_bad
         self.track = _relabel_tracks(
             self.track,
             _bad_landmark_slots(
@@ -1139,8 +1187,8 @@ class Estimator:
     # ------------------------------------------------------------------
 
     _SCALAR_STATE = (
-        "frame_id", "initialized", "imu_initialized", "scale_refine_count",
-        "last_timestamp",
+        "frame_id", "initialized", "imu_initialized", "has_imu_stream",
+        "scale_refine_count", "last_timestamp",
     )
     _ARRAY_STATE = (
         "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
@@ -1182,7 +1230,8 @@ class Estimator:
         from ..io import checkpoint as ckpt
 
         for name in self._SCALAR_STATE:
-            setattr(self, name, state[name])
+            if name in state:  # tolerate pre-round-4 checkpoints
+                setattr(self, name, state[name])
         self.last_kf_index = state["last_kf_index"]
         for name in self._ARRAY_STATE:
             setattr(self, name, ckpt.device_put_tree(state[name]))

