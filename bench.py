@@ -348,6 +348,13 @@ def bench_accuracy():
 def main():
     import jax
 
+    try:
+        # persist compiled programs across bench/driver invocations
+        # (the fused keyframe program alone compiles ~60 s at the
+        # production shape)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
     dev = jax.devices()[0]
     ba_ms, ba_iters = bench_window_ba()
     frame_ms = bench_frame_step()

@@ -198,6 +198,13 @@ class SolverConfig:
     divisible by the axis size."""
     backend: str = "auto"
     mesh: str = ""
+    # Run the whole keyframe event (eviction capture, window append,
+    # preintegration, window (VI)BA, bias re-linearization,
+    # scale/gravity refine, outlier relabel, triangulation) as ONE
+    # compiled dispatch with one packed record fetch
+    # (fused.make_keyframe_step). Off = the staged multi-dispatch path
+    # (still used for bootstrap promotion and IMU-init retries).
+    fused_keyframe: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

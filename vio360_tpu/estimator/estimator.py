@@ -99,12 +99,14 @@ def _bad_landmark_slots(track: tracker.TrackState, lm_slot, lm_feat_id, new_bad)
 
 
 @_pjit
-def _imu_edge_measurement(p0, bg, ba, kf_r0, kf_vel0, gravity_w):
-    """Bias-corrected IMU odometry measurement for a pose-graph edge,
-    entirely on device (one dispatch feeding the eviction event's
-    single packed fetch): first-order bias correction of the deltas
+def _imu_edge_measurement(preints_stacked, bg, ba, kf_r0, kf_vel0, gravity_w):
+    """Bias-corrected IMU odometry measurement for a pose-graph edge
+    (pair 0 of the stacked preintegrations), entirely on device (one
+    dispatch feeding the eviction event's single packed fetch):
+    first-order bias correction of the deltas
     (IMUPreintegrator.cpp:276-308), the SE(3) translation prediction,
     and the covariance diagonals the edge weight needs."""
+    p0 = jax.tree_util.tree_map(lambda a: a[0], preints_stacked)
     dbg = bg - p0.bg
     dba = ba - p0.ba
     dr = p0.delta_r @ lie.so3_exp(p0.j_rg @ dbg)
@@ -121,6 +123,44 @@ def _stack_preints(pres: list):
     tree_map of jnp.stack issues ~117 eager ops — each a host->device
     round trip, seconds through the axon relay)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+
+
+# The window's keyframe-pair preintegrations live PERMANENTLY as one
+# stacked device tree [P, ...] (P = max_keyframes - 1) with a
+# host-tracked pair count — a host list of separate trees costs one
+# relay round trip per element for every append/rebias/stack
+# (~10 extra ops per keyframe event, utils/hostsync.py).
+
+@_pjit
+def _append_preint(stacked, new, idx, evict):
+    """Append ``new`` at slot ``idx``; when ``evict`` the window just
+    rolled, so pair 0 leaves and the stack shifts left first."""
+    rolled = jax.lax.cond(
+        evict,
+        lambda s: jax.tree_util.tree_map(lambda a: jnp.roll(a, -1, axis=0), s),
+        lambda s: s,
+        stacked,
+    )
+    return jax.tree_util.tree_map(lambda a, n: a.at[idx].set(n), rolled, new)
+
+
+@_pjit
+def _update_bias_all(stacked, bg, ba):
+    """Re-linearize EVERY pair's preintegration at the new bias in one
+    dispatch (IMUPreintegrator.cpp:276-308 applied per pair)."""
+    return jax.vmap(pre.update_bias, in_axes=(0, None, None))(stacked, bg, ba)
+
+
+@_pjit
+def _pair_valid_mask(stacked, n_real):
+    """[P] validity: within the live pair count and dt in the
+    reference's (0.001, 2.0) window (Optimizer.cpp:1035)."""
+    n_pairs = stacked.dt_total.shape[0]
+    return (
+        (jnp.arange(n_pairs) < n_real)
+        & (stacked.dt_total > 0.001)
+        & (stacked.dt_total < 2.0)
+    )
 
 
 class Estimator:
@@ -203,6 +243,10 @@ class Estimator:
         # relay round trip (utils/hostsync.py), and the KF count is
         # host-decidable — add_keyframe saturates at max_keyframes.
         self.n_kf_host = 0
+        # fused keyframe event (fused.make_keyframe_step), built lazily
+        # per IMU mode
+        self._kf_step_fn = None
+        self._kf_step_use_imu: bool | None = None
 
         # ---- pose-graph store (solver/pose_graph.py) ----
         # Evicted keyframes leave BA's reach; SE(3) relative edges keep
@@ -225,7 +269,11 @@ class Estimator:
         self.imu_since_last_kf: list[np.ndarray] = []  # rows (t,ax..gz)
         # preintegration for window KF pair (i, i+1), host list parallel
         # to the window's keyframe pairs
-        self.kf_preints: list[pre.Preintegration] = []
+        n_max_pairs = cfg.window.max_keyframes - 1
+        self.preints: pre.Preintegration = _stack_preints(
+            [pre.identity_preintegration()] * n_max_pairs
+        )
+        self.n_pairs = 0  # host-tracked live pair count
         self.last_timestamp: float | None = None
         # Per-stage wall-clock accumulation (SURVEY.md §5 tracing — the
         # reference has no timers at all). Most stages synchronize on
@@ -317,7 +365,7 @@ class Estimator:
         n = self.n_kf_host
         if n < 2:
             return
-        m = min(n, 3)
+        m = 3  # fixed slice; empty slots carry kf_id == -1
 
         # ONE packed device->host transfer for the whole eviction event
         # (utils/hostsync.py): window slice + derived weights + the
@@ -333,13 +381,32 @@ class Estimator:
         }
         if pcfg.cov_weighted:
             tree["pair_w"] = self._pair_sqrt_info()
-        if self.imu_initialized and self.kf_preints:
+        if self.imu_initialized and self.n_pairs > 0:
             tree["imu"] = _imu_edge_measurement(
-                self.kf_preints[0], self.bg, self.ba,
+                self.preints, self.bg, self.ba,
                 self.win.kf_r[0], self.win.kf_vel[0], self.gravity_w,
             )
         h = hostsync.fetch_tree(tree)
-        kf_id, kf_r, kf_t = h["kf_id"], h["kf_r"], h["kf_t"]
+        imu_edge = None
+        if "imu" in h:
+            dr, dp, dt_arr, t_rel, cov_r_d, cov_p_d = h["imu"]
+            imu_edge = {
+                "dr": dr, "dp": dp, "dt": float(dt_arr), "t_rel": t_rel,
+                "cov_r_diag": cov_r_d, "cov_p_diag": cov_p_d,
+            }
+        self._append_pg_edges_host(
+            h["kf_id"], h["kf_r"], h["kf_t"], h["kf_vel0"],
+            h.get("pair_w"), imu_edge,
+        )
+
+    def _append_pg_edges_host(
+        self, kf_id, kf_r, kf_t, vel0, pair_w, imu_edge,
+    ) -> None:
+        """Host half of the eviction capture: turn the fetched pieces
+        (window slice, derived weights, bias-corrected IMU odometry)
+        into PgEdge records. Shared by the staged path above and the
+        fused keyframe event (fused.make_keyframe_step)."""
+        pcfg = self.cfg.pose_graph
         fid0 = int(kf_id[0])
         if fid0 < 0:
             return
@@ -350,13 +417,13 @@ class Estimator:
                 [np.full(3, wt), np.full(3, wr)]
             ).astype(np.float32)
 
-        if pcfg.cov_weighted:
+        if pcfg.cov_weighted and pair_w is not None:
             # Marginal pose covariance of the converged window
             # (Schur-reduced information inverted), propagated to the
             # (0,1) and (0,2) relatives (solver/marginals.py). Fixed
-            # shape regardless of m; the second row is discarded when no
-            # skip edge is recorded.
-            w01, w02 = np.asarray(h["pair_w"])
+            # shape; the second row is discarded when no skip edge is
+            # recorded.
+            w01, w02 = np.asarray(pair_w)
         else:
             w01 = fallback(pcfg.vis_weight_t, pcfg.vis_weight_r)
             w02 = fallback(pcfg.skip_weight_t, pcfg.skip_weight_r)
@@ -368,19 +435,19 @@ class Estimator:
 
         rr, rt = rel(0, 1)
         self.pg_edges.append(PgEdge(fid0, int(kf_id[1]), rr, rt, w01, "vis"))
-        if m >= 3 and int(kf_id[2]) >= 0:
+        if int(kf_id[2]) >= 0:
             rr, rt = rel(0, 2)
             self.pg_edges.append(PgEdge(fid0, int(kf_id[2]), rr, rt, w02, "skip"))
-        if "imu" in h:
-            # kf_preints[0] preintegrates window pair (0, 1):
+        if imu_edge is not None:
+            # preints pair 0 preintegrates window pair (0, 1):
             #   R_rel = dR_corr,  t_rel = R0^T (v0 dt + 0.5 g dt^2) + dP_corr
             # (bias correction first-order, IMUPreintegrator.cpp:276-308)
-            dr, dp, dt_arr, t_rel, cov_r_d, cov_p_d = h["imu"]
-            dt = float(dt_arr)
+            dt = imu_edge["dt"]
             if dt > 1e-6:
                 if pcfg.cov_weighted:
                     wt, wr = marginals.preint_edge_sqrt_info_diag(
-                        cov_r_d, cov_p_d, dt, vel_sigma=pcfg.imu_vel_sigma,
+                        imu_edge["cov_r_diag"], imu_edge["cov_p_diag"], dt,
+                        vel_sigma=pcfg.imu_vel_sigma,
                         min_sigma_t=pcfg.min_sigma_t,
                         min_sigma_r=pcfg.min_sigma_r,
                     )
@@ -389,12 +456,14 @@ class Estimator:
                     w_imu = fallback(pcfg.imu_weight_t, pcfg.imu_weight_r)
                 self.pg_edges.append(
                     PgEdge(
-                        fid0, int(kf_id[1]), np.asarray(dr, np.float32),
-                        np.asarray(t_rel, np.float32), w_imu, "imu",
-                        v0=np.asarray(h["kf_vel0"], np.float32),
+                        fid0, int(kf_id[1]),
+                        np.asarray(imu_edge["dr"], np.float32),
+                        np.asarray(imu_edge["t_rel"], np.float32),
+                        w_imu, "imu",
+                        v0=np.asarray(vel0, np.float32),
                         r0=np.asarray(kf_r[0], np.float32),
                         dt=dt,
-                        dp=np.asarray(dp, np.float32),
+                        dp=np.asarray(imu_edge["dp"], np.float32),
                     )
                 )
 
@@ -403,26 +472,8 @@ class Estimator:
         from the marginal pose covariance at the CURRENT (BA-refined)
         window state. Mirrors window.window_ba's problem construction
         exactly (same observations, gauge and boundary filter)."""
-        cfg = self.cfg
-        pcfg = cfg.pose_graph
-        win = self.win
-        obs_uv, obs_mask = window.observations(win)
-        from ..geometry import camera as cam
-
-        obs_mask &= ~cam.is_near_boundary(
-            obs_uv, cfg.camera.width, cfg.camera.height,
-            cfg.camera.boundary_margin,
-        )
-        kf_ok = win.kf_id >= 0
-        fixed_pose = ~kf_ok | (jnp.arange(win.max_kf) == 0)
-        fixed_point = ~win.lm_alive | win.lm_marg
-        return marginals.window_relpose_sqrt_info(
-            win.kf_r, win.kf_t, win.lm_pos, obs_uv, obs_mask,
-            fixed_pose, fixed_point, self.r_cb, self.t_cb,
-            jnp.asarray([0, 0], jnp.int32), jnp.asarray([1, 2], jnp.int32),
-            cfg.camera.width, cfg.camera.height,
-            huber_delta=cfg.window.huber_delta,
-            min_sigma_t=pcfg.min_sigma_t, min_sigma_r=pcfg.min_sigma_r,
+        return marginals.window_pair_sqrt_info(
+            self.win, self.cfg, self.r_cb, self.t_cb
         )
 
     def optimize_pose_graph(self):
@@ -491,18 +542,25 @@ class Estimator:
                 )
         return res
 
-    def _transform_history(self, r_wg: jax.Array, scale: jax.Array):
+    def _transform_history(self, r_wg, scale, t_anchor=None):
         """Re-express the recorded trajectory + current pose in the new
         (gravity-aligned, rescaled) world frame so the export stays in
         ONE frame across alignments. Anchored at the first keyframe like
-        align_gravity_and_scale."""
-        r_gw, scale_h, kf_t0 = hostsync.fetch_tree(
-            (jnp.asarray(r_wg), jnp.asarray(scale, jnp.float32),
-             self.win.kf_t[0])
-        )
-        r_gw = r_gw.T
-        s = float(scale_h)
-        t_anchor = r_gw @ kf_t0
+        align_gravity_and_scale. With ``t_anchor`` given (fused keyframe
+        path), all three arguments are host values and no device fetch
+        happens."""
+        if t_anchor is None:
+            r_wg_h, scale_h, kf_t0 = hostsync.fetch_tree(
+                (jnp.asarray(r_wg), jnp.asarray(scale, jnp.float32),
+                 self.win.kf_t[0])
+            )
+            r_gw = r_wg_h.T
+            s = float(scale_h)
+            t_anchor = r_gw @ kf_t0
+        else:
+            r_gw = np.asarray(r_wg).T
+            s = float(scale)
+            t_anchor = np.asarray(t_anchor)
         self.trajectory = [
             (t, r_gw @ r, t_anchor + (r_gw @ p - t_anchor) * s)
             for (t, r, p) in self.trajectory
@@ -555,7 +613,6 @@ class Estimator:
         self, image, timestamp: float, imu: np.ndarray | None = None
     ) -> FrameResult:
         self.frame_id += 1
-        img = jnp.asarray(image, jnp.float32)
         cfg = self.cfg
         imu_rows = (
             np.asarray(imu, np.float64).reshape(-1, 7)
@@ -568,9 +625,18 @@ class Estimator:
         self.last_imu_rows = imu_rows
         self.last_timestamp = timestamp
 
+        h = cfg.camera.height
         if self.img_prev is None:
-            self.track = tracker.bootstrap_frame(self.track, img, jnp.asarray(timestamp), cfg)
-            self.img_prev = img
+            # img_prev is ALWAYS a packed frame buffer (fused.
+            # pack_frame_input); the image part is buf[:h].
+            buf = jax.device_put(fused.pack_frame_input(
+                np.asarray(image, np.float32), timestamp, None,
+                cfg.imu.max_samples_per_frame, cfg.camera.width,
+            ))
+            self.track = tracker.bootstrap_frame(
+                self.track, buf[:h], jnp.asarray(timestamp), cfg
+            )
+            self.img_prev = buf
             self.snapshots = [self._snapshot(timestamp, imu_rows)]
             self._record(timestamp)
             return self._result(timestamp, "bootstrapping", False, 0, 0, {})
@@ -578,22 +644,25 @@ class Estimator:
         if not self.initialized:
             # Bootstrap frames: bare front-end step (no pose prediction
             # exists yet), host window accumulation + init attempt.
+            buf = jax.device_put(fused.pack_frame_input(
+                np.asarray(image, np.float32), timestamp, None,
+                cfg.imu.max_samples_per_frame, cfg.camera.width,
+            ))
             with self._stage("frontend"):
                 self.track, _, tdiag = tracker.track_frame(
-                    self.track, self.img_prev, img, jnp.asarray(timestamp),
-                    self._next_key(), cfg,
+                    self.track, self.img_prev[:h], buf[:h],
+                    jnp.asarray(timestamp), self._next_key(), cfg,
                 )
-            self.img_prev = img
+            self.img_prev = buf
             n_tracked = int(tdiag["n_tracked"])
             return self._bootstrap_step(timestamp, n_tracked, tdiag, imu_rows)
 
         # Steady state: the WHOLE tracking frame — prediction, LK,
         # RANSAC, landmark join, PnP, outlier relabel, keyframe decision
-        # — is ONE compiled dispatch (estimator/fused.py) with a single
-        # device->host scalar-bundle read.
-        res = self._tracking_step(img, timestamp)
-        self.img_prev = img
-        return res
+        # — is ONE compiled dispatch (estimator/fused.py) over ONE
+        # uploaded buffer with a single device->host scalar-bundle read
+        # (3 relay operations total; img_prev stays device-resident).
+        return self._tracking_step(np.asarray(image, np.float32), timestamp)
 
     # ------------------------------------------------------------------
 
@@ -762,7 +831,7 @@ class Estimator:
         self.win = window.empty_window(
             cfg.window.max_keyframes, cfg.window.max_landmarks, self.capacity
         )
-        self.kf_preints = []
+        promote_preints: list[pre.Preintegration] = []
         r0, t0v = jnp.eye(3), jnp.zeros(3)
         r_n, t_n = res.r_wb2, res.t_wb2
         t_first, t_last = snaps[0]["time"], snaps[-1]["time"]
@@ -801,10 +870,11 @@ class Estimator:
                 jnp.asarray(s["time"], jnp.float32), jnp.asarray(s["frame_id"]),
                 s["uv"], s["ids"],
             )
-            self.kf_preints.append(
+            promote_preints.append(
                 self._preintegrate(s["imu"], self.bg, self.ba, cfg.imu.max_samples_per_frame)
             )
         self.n_kf_host = min(n, cfg.window.max_keyframes)
+        self._set_preints(promote_preints)
 
         self.win, _ = window.window_ba(
             self.win, self.t_bc, w, h, cfg.camera.boundary_margin,
@@ -823,26 +893,25 @@ class Estimator:
         _, kf_r_h, kf_t_h = self._log_window_poses()
         self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
 
-    def _stacked_preints(self):
-        """Pad host preintegration list to the fixed max_kf-1 pair count."""
-        cfg = self.cfg
-        n_pairs = cfg.window.max_keyframes - 1
-        pres = list(self.kf_preints[:n_pairs])
-        n_real = len(pres)
-        while len(pres) < n_pairs:
+    def _set_preints(self, pres: list) -> None:
+        """Install a host list of per-pair preintegrations as the
+        stacked device tree (one dispatch)."""
+        n_max = self.cfg.window.max_keyframes - 1
+        pres = list(pres[:n_max])
+        self.n_pairs = len(pres)
+        while len(pres) < n_max:
             pres.append(pre.identity_preintegration())
-        stacked = _stack_preints(pres)
-        valid = (
-            (jnp.arange(n_pairs) < n_real)
-            & (stacked.dt_total > 0.001)
-            & (stacked.dt_total < 2.0)
-        )
-        return stacked, valid
+        self.preints = _stack_preints(pres)
+
+    def _stacked_preints(self):
+        """(stacked tree, [P] validity mask) — the stack is maintained
+        on device; only the mask is derived (one dispatch)."""
+        return self.preints, _pair_valid_mask(self.preints, self.n_pairs)
 
     def _try_initialize_imu(self) -> bool:
         cfg = self.cfg
         k = self.n_kf_host
-        if k < 3 or len(self.kf_preints) != k - 1:
+        if k < 3 or self.n_pairs != k - 1:
             return False
         stacked, pair_valid = self._stacked_preints()
         res = imu_init_mod.solve_imu_init(
@@ -855,7 +924,7 @@ class Estimator:
         # discriminate — a corrupted window can FIT well with a wrong
         # gravity (measured: blur-epoch inits reached 26° gravity error
         # at per-pair residuals under any usable threshold).
-        n_pairs = max(len(self.kf_preints), 1)
+        n_pairs = max(self.n_pairs, 1)
         half = jnp.arange(cfg.window.max_keyframes - 1) < (n_pairs // 2)
         res_a = imu_init_mod.solve_imu_init(
             self.win.kf_r, self.win.kf_t, stacked, pair_valid & half,
@@ -908,9 +977,7 @@ class Estimator:
         self.bg = res.bg
         self.ba = res.ba
         self.gravity_w = jnp.array([0.0, 0.0, -cfg.imu.gravity_magnitude])
-        self.kf_preints = [
-            pre.update_bias(p, self.bg, self.ba) for p in self.kf_preints
-        ]
+        self.preints = _update_bias_all(self.preints, self.bg, self.ba)
         i_last = self.n_kf_host - 1
         self.r_cur = self.win.kf_r[i_last]
         self.t_cur = self.win.kf_t[i_last]
@@ -929,29 +996,28 @@ class Estimator:
 
     # ------------------------------------------------------------------
 
-    def _tracking_step(self, img, timestamp) -> FrameResult:
-        """Steady-state frame: one fused dispatch + one scalar-bundle
-        read (fused.tracking_step — prediction, LK, RANSAC, landmark
-        join, PnP, relabel, keyframe decision all on device)."""
+    def _tracking_step(self, image_np, timestamp) -> FrameResult:
+        """Steady-state frame: one packed upload + one fused dispatch +
+        one scalar-bundle read (fused.tracking_step — prediction, LK,
+        RANSAC, landmark join, PnP, relabel, keyframe decision all on
+        device)."""
         cfg = self.cfg
         use_imu = self.imu_initialized
-        cap = cfg.imu.max_samples_per_frame
-        s = np.zeros((cap, 7), np.float32)
-        m = np.zeros(cap, bool)
-        n = min(len(self.last_imu_rows), cap) if use_imu else 0
-        if n:
-            s[:n] = self.last_imu_rows[-n:]
-            m[:n] = True
+        buf = jax.device_put(fused.pack_frame_input(
+            image_np, timestamp,
+            self.last_imu_rows if use_imu else None,
+            cfg.imu.max_samples_per_frame, cfg.camera.width,
+        ))
 
         with self._stage("tracking_step"):
-            self.track, self.key, r_new, t_new, v_new, bundle = fused.tracking_step(
-                self.track, self.win, self.img_prev, img,
-                jnp.asarray(timestamp, jnp.float32), self.key,
+            (self.track, self.key, r_new, t_new, v_new,
+             bundle) = fused.tracking_step(
+                self.track, self.win, self.img_prev, buf, self.key,
                 self.r_cur, self.t_cur, self.r_prev, self.t_prev,
                 self.vel_cur, self.bg, self.ba, self.gravity_w,
-                jnp.asarray(s), jnp.asarray(m), jnp.asarray(n > 0),
                 self.t_bc[:3, :3], self.r_cb, self.t_cb, cfg, use_imu,
             )
+            self.img_prev = buf
             # the frame's ONE host sync: a single packed [20] buffer
             b = fused.unpack_bundle(np.asarray(bundle))
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
@@ -984,6 +1050,13 @@ class Estimator:
 
     def _create_keyframe(self, timestamp, diag):
         cfg = self.cfg
+        # The fused single-dispatch event covers the two steady modes
+        # (VO, VIO); the VO->VIO transition (IMU-init retry pending)
+        # stays on the staged path below.
+        if cfg.solver.fused_keyframe and (
+            self.imu_initialized == self.has_imu_stream
+        ):
+            return self._create_keyframe_fused(timestamp, diag)
         zeros = jnp.zeros(3)
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         was_full = self.n_kf_host == cfg.window.max_keyframes
@@ -1005,11 +1078,14 @@ class Estimator:
                 if self.imu_since_last_kf
                 else np.zeros((0, 7))
             )
-            self.kf_preints.append(
-                self._preintegrate(rows, self.bg, self.ba, cfg.imu.max_samples_per_keyframe)
+            newp = self._preintegrate(
+                rows, self.bg, self.ba, cfg.imu.max_samples_per_keyframe
             )
-            if was_full and self.kf_preints:
-                self.kf_preints.pop(0)
+            n_max = cfg.window.max_keyframes - 1
+            evict = self.n_pairs == n_max
+            idx = np.int32(n_max - 1 if evict else self.n_pairs)
+            self.preints = _append_preint(self.preints, newp, idx, np.bool_(evict))
+            self.n_pairs = min(self.n_pairs + 1, n_max)
         self.imu_since_last_kf = []
 
         # BA first, then triangulate new landmarks from the REFINED poses
@@ -1033,7 +1109,7 @@ class Estimator:
                     dist_fn=self._dist_viba_fn,
                 )
             new_bg, new_ba = vres.bg, vres.ba
-            self.kf_preints = [pre.update_bias(p, new_bg, new_ba) for p in self.kf_preints]
+            self.preints = _update_bias_all(self.preints, new_bg, new_ba)
             self.bg, self.ba = new_bg, new_ba
             cost_dev, inl_dev = vres.final_cost, vres.num_inliers
             solver_res = vres
@@ -1053,7 +1129,7 @@ class Estimator:
                 )
             cost_dev, inl_dev = ba_res.final_cost, ba_res.num_inliers
             solver_res = ba_res
-            if self.has_imu_stream and len(self.kf_preints) == self.n_kf_host - 1:
+            if self.has_imu_stream and self.n_pairs == self.n_kf_host - 1:
                 # IMU init was rejected by the quality gate at bootstrap
                 # — retry on the fresh (BA-refined) window until a clean
                 # epoch passes the gate.
@@ -1111,6 +1187,100 @@ class Estimator:
         )
         return kf_r_h[i_last], kf_t_h[i_last]
 
+    def _create_keyframe_fused(self, timestamp, diag):
+        """The keyframe event as ONE dispatch + ONE record fetch
+        (fused.make_keyframe_step). Host work is bookkeeping on the
+        unpacked record: counters, pose log, pose-graph edges, and the
+        history transform when a scale/gravity refine applied."""
+        cfg = self.cfg
+        use_imu = self.imu_initialized
+        if self._kf_step_fn is None or self._kf_step_use_imu != use_imu:
+            self._kf_step_fn = fused.make_keyframe_step(
+                cfg, use_imu, self._dist_ba_fn, self._dist_viba_fn
+            )
+            self._kf_step_use_imu = use_imu
+
+        max_kf = cfg.window.max_keyframes
+        was_full = self.n_kf_host == max_kf
+        n_kf_after = min(self.n_kf_host + 1, max_kf)
+        pairs_after = min(self.n_pairs + 1, max_kf - 1) if use_imu else self.n_pairs
+        do_refine = (
+            use_imu
+            and self.scale_refine_count < cfg.window.max_scale_refines
+            and n_kf_after >= 3
+            and pairs_after == n_kf_after - 1
+        )
+        rows = (
+            np.concatenate(self.imu_since_last_kf)
+            if self.imu_since_last_kf
+            else np.zeros((0, 7))
+        )
+        aux = jax.device_put(fused.pack_kf_input(
+            timestamp, self.frame_id, self.n_pairs, was_full, do_refine,
+            rows if use_imu else None, cfg.imu.max_samples_per_keyframe,
+        ))
+
+        with self._stage("keyframe_step"):
+            (self.track, self.win, self.preints, self.bg, self.ba,
+             self.r_cur, self.t_cur, self.vel_cur, record) = self._kf_step_fn(
+                self.track, self.win, self.preints, aux,
+                self.r_cur, self.t_cur, self.vel_cur, self.bg, self.ba,
+                self.gravity_w, self.t_bc, self.r_cb, self.t_cb,
+            )
+            rec = fused.unpack_kf_record(np.asarray(record), max_kf)
+
+        self.n_kf_host = n_kf_after
+        if use_imu:
+            self.n_pairs = pairs_after
+        self.imu_since_last_kf = []
+        i_last = self.n_kf_host - 1
+
+        # eviction capture -> pose-graph edges (host half; captured in
+        # the PRE-refine world frame, like everything else in history)
+        if was_full and cfg.pose_graph.enabled:
+            self._append_pg_edges_host(
+                rec["cap_kf_id"], rec["cap_kf_r"], rec["cap_kf_t"],
+                rec["cap_vel0"],
+                rec["pair_w"] if cfg.pose_graph.cov_weighted else None,
+                rec["imu_edge"] if use_imu else None,
+            )
+        # scale/gravity refine applied in-graph -> transform the host
+        # history FIRST (trajectory, pose log, edges — all still in the
+        # old frame); the record's window poses below are already
+        # aligned and must not be transformed again.
+        if rec["refine_applied"]:
+            self.scale_refine_count += 1
+            diag["scale_refine"] = rec["refine_s"]
+            # r_cur/t_cur/vel_cur came out of the kernel ALREADY aligned
+            # — _transform_history must not transform them again
+            # (r_prev/t_prev are old-frame and must be).
+            cur = (self.r_cur, self.t_cur, self.vel_cur)
+            self._transform_history(
+                rec["r_wg"], rec["refine_s"], t_anchor=rec["t_anchor"]
+            )
+            self.r_cur, self.t_cur, self.vel_cur = cur
+        # refined (and possibly aligned) window poses -> export log
+        for i in range(self.n_kf_host):
+            fid = int(rec["kf_id"][i])
+            if fid >= 0:
+                self.kf_pose_log[fid] = (rec["kf_r"][i], rec["kf_t"][i])
+        self.last_kf_fid = self.frame_id
+        self.last_kf_capture = (rec["kf_r"][i_last], rec["kf_t"][i_last])
+        if rec["n_dropped"]:
+            log.warning(
+                "landmark slots saturated: dropped %d new landmarks "
+                "(capacity %d)", rec["n_dropped"], self.win.max_lm,
+            )
+        diag.update(
+            n_new_landmarks=rec["n_new"],
+            n_lm_dropped=rec["n_dropped"],
+            n_lm_alive=rec["n_lm_alive"],
+            n_lm_marginalized=rec["n_lm_marg"],
+            ba_cost=rec["ba_cost"],
+            ba_inliers=rec["ba_inliers"],
+        )
+        return rec["kf_r"][i_last], rec["kf_t"][i_last]
+
     def _refine_scale_gravity(self, diag):
         """Periodic inertial-only re-estimation of scale + gravity on the
         (already metric) window — each pass should return s ~ 1; residual
@@ -1122,7 +1292,7 @@ class Estimator:
         if self.scale_refine_count >= cfg.window.max_scale_refines:
             return
         k = self.n_kf_host
-        if k < 3 or len(self.kf_preints) != k - 1:
+        if k < 3 or self.n_pairs != k - 1:
             return
         stacked, pair_valid = self._stacked_preints()
         res = imu_init_mod.solve_imu_init(
@@ -1188,11 +1358,11 @@ class Estimator:
 
     _SCALAR_STATE = (
         "frame_id", "initialized", "imu_initialized", "has_imu_stream",
-        "scale_refine_count", "last_timestamp",
+        "scale_refine_count", "last_timestamp", "n_pairs",
     )
     _ARRAY_STATE = (
         "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
-        "vel_cur", "bg", "ba", "gravity_w", "snapshots", "kf_preints",
+        "vel_cur", "bg", "ba", "gravity_w", "snapshots", "preints",
     )
 
     def capture_state(self) -> dict:
@@ -1234,9 +1404,24 @@ class Estimator:
                 setattr(self, name, state[name])
         self.last_kf_index = state["last_kf_index"]
         for name in self._ARRAY_STATE:
+            if name == "preints" and name not in state:
+                # pre-round-4 checkpoint: host list of per-pair trees
+                self._set_preints([
+                    ckpt.device_put_tree(x) for x in state.get("kf_preints", [])
+                ])
+                continue
             setattr(self, name, ckpt.device_put_tree(state[name]))
         # host-tracked keyframe count (one fetch at restore time)
         self.n_kf_host = int(np.asarray(self.win.n_kf))
+        # pre-round-4 checkpoints stored the bare image, not the packed
+        # frame buffer (fused.pack_frame_input)
+        h = self.cfg.camera.height
+        if self.img_prev is not None and self.img_prev.shape[0] == h:
+            self.img_prev = jax.device_put(fused.pack_frame_input(
+                np.asarray(self.img_prev), float(self.last_timestamp or 0.0),
+                None, self.cfg.imu.max_samples_per_frame,
+                self.cfg.camera.width,
+            ))
         self.trajectory = [
             (e["t"], np.asarray(e["r"]), np.asarray(e["p"])) for e in state["trajectory"]
         ]

@@ -100,13 +100,38 @@ def _predict_cv(r_cur, t_cur, r_prev, t_prev):
     return lie.so3_renormalize(r_pred), t_pred
 
 
+def pack_frame_input(image, timestamp, imu_rows, cap: int, width: int):
+    """Host-side: ONE [H+aux_rows, W] f32 buffer carrying the frame
+    image plus every per-frame scalar input (timestamp, IMU samples,
+    masks). The relay charges a round trip per uploaded array
+    (utils/hostsync.py), so the frame's host->device traffic must be a
+    single buffer — tracking_step unpacks it in-graph."""
+    import numpy as np
+
+    h, w = image.shape
+    n_aux = 2 + cap * 8  # timestamp, have_imu, samples [cap,7], mask [cap]
+    aux_rows = -(-n_aux // width)
+    buf = np.zeros((h + aux_rows, w), np.float32)
+    buf[:h] = image
+    aux = np.zeros(aux_rows * width, np.float32)
+    aux[0] = timestamp
+    n = min(len(imu_rows), cap) if imu_rows is not None else 0
+    aux[1] = 1.0 if n else 0.0
+    if n:
+        aux[2:2 + n * 7] = np.asarray(
+            imu_rows[-n:], np.float32
+        ).ravel()
+        aux[2 + cap * 7:2 + cap * 7 + n] = 1.0
+    buf[h:] = aux.reshape(aux_rows, width)
+    return buf
+
+
 @functools.partial(_pjit, static_argnames=("cfg", "use_imu"))
 def tracking_step(
     track: tracker.TrackState,
     win: window.WindowState,
-    img_prev: jax.Array,
-    img_next: jax.Array,
-    timestamp: jax.Array,
+    prev_buf: jax.Array,  # [H+aux, W] PREVIOUS frame's packed buffer
+    frame_buf: jax.Array,  # [H+aux, W] packed image + per-frame scalars
     key: jax.Array,
     r_cur: jax.Array,
     t_cur: jax.Array,
@@ -116,9 +141,6 @@ def tracking_step(
     bg: jax.Array,
     ba: jax.Array,
     gravity_w: jax.Array,
-    imu_samples: jax.Array,  # [S,7] padded rows (ignored unless use_imu)
-    imu_mask: jax.Array,  # [S] bool
-    have_imu: jax.Array,  # [] bool: any real samples this frame
     r_bc: jax.Array,  # [3,3] camera-to-body rotation
     r_cb: jax.Array,
     t_cb: jax.Array,
@@ -129,8 +151,25 @@ def tracking_step(
     ``(new_track, new_key, r_new, t_new, v_new, bundle)`` where
     ``bundle`` is the per-frame scalar record the host reads in a
     single transfer (pose copy + keyframe decision + diagnostics).
+
+    Both images arrive as PACKED buffers (pack_frame_input) and are
+    sliced in-graph: the relay charges ~45 ms per large program OUTPUT
+    buffer even when never fetched (measured round 4), so the frame
+    must neither upload more than one array nor return any — the
+    caller keeps ``frame_buf``'s device handle as the next
+    ``prev_buf``.
     """
     w, h = cfg.camera.width, cfg.camera.height
+
+    # ---- unpack the single frame buffer (see pack_frame_input) ----
+    cap = cfg.imu.max_samples_per_frame
+    img_prev = prev_buf[:h]
+    img_next = frame_buf[:h]
+    aux = frame_buf[h:].ravel()
+    timestamp = aux[0]
+    have_imu = aux[1] > 0.5
+    imu_samples = aux[2:2 + cap * 7].reshape(cap, 7)
+    imu_mask = aux[2 + cap * 7:2 + cap * 8] > 0.5
 
     # ---- pose prediction (Estimator.cpp:318-334, 429-471) ----
     r_cv, t_cv = _predict_cv(r_cur, t_cur, r_prev, t_prev)
@@ -241,3 +280,297 @@ def unpack_bundle(b) -> dict:
         "r": b[8:17].reshape(3, 3).copy(),
         "t": b[17:20].copy(),
     }
+
+
+# ----------------------------------------------------------------------
+# The keyframe event as ONE compiled dispatch.
+# ----------------------------------------------------------------------
+
+KF_AUX_LEN = 6  # timestamp, frame_id, n_pairs, was_full, do_refine, n_imu
+
+
+def pack_kf_input(timestamp, frame_id, n_pairs, was_full, do_refine,
+                  imu_rows, cap: int):
+    """Host-side single upload for the keyframe event: control scalars
+    + the since-last-KF IMU rows (up to ``cap``)."""
+    import numpy as np
+
+    buf = np.zeros(KF_AUX_LEN + cap * 7, np.float32)
+    n = min(len(imu_rows), cap) if imu_rows is not None else 0
+    buf[0] = timestamp
+    buf[1] = frame_id
+    buf[2] = n_pairs
+    buf[3] = 1.0 if was_full else 0.0
+    buf[4] = 1.0 if do_refine else 0.0
+    buf[5] = n
+    if n:
+        buf[KF_AUX_LEN:KF_AUX_LEN + n * 7] = np.asarray(
+            imu_rows[-n:], np.float32
+        ).ravel()
+    return buf
+
+
+_KF_STEP_CACHE: dict = {}
+
+
+def make_keyframe_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
+                       dist_viba_fn=None):
+    """Build the fused keyframe event: eviction capture -> add_keyframe
+    -> KF preintegration append -> window (VI)BA -> bias re-linearize ->
+    scale/gravity refine -> outlier relabel -> triangulate -> packed
+    host record. The staged equivalent (estimator._create_keyframe's
+    round-3 form) made ~12 separate dispatches/fetches — each a full
+    round trip through a dispatch-latency environment
+    (utils/hostsync.py); here a keyframe is 1 upload + 1 dispatch + 1
+    record fetch, and on a local TPU one program amortizes every launch
+    overhead.
+
+    Returns a jitted ``kf_step(track, win, preints, aux_buf, r_cur,
+    t_cur, vel_cur, bg, ba, gravity_w, t_bc, r_cb, t_cb) ->
+    (track', win', preints', bg', ba', r_cur', t_cur', vel_cur',
+    record)`` where ``record`` is one flat f32 vector (see
+    unpack_kf_record).
+    """
+    from ..solver import imu_init as imu_init_mod
+    from ..solver import marginals
+
+    # The built program compiles in ~1 min at the production shape —
+    # cache per configuration so every Estimator instance (and every
+    # bench/CLI run in one process) reuses the compiled step.
+    cache_key = (cfg, use_imu, dist_ba_fn, dist_viba_fn)
+    hit = _KF_STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    w, h = cfg.camera.width, cfg.camera.height
+    cap = cfg.imu.max_samples_per_keyframe
+    max_kf = cfg.window.max_keyframes
+    icfg = cfg.imu
+
+    def kf_step(track, win, preints, aux, r_cur, t_cur, vel_cur, bg, ba,
+                gravity_w, t_bc, r_cb, t_cb):
+        timestamp = aux[0]
+        frame_id = aux[1].astype(jnp.int32)
+        n_pairs = aux[2].astype(jnp.int32)
+        was_full = aux[3] > 0.5
+        do_refine = aux[4] > 0.5
+        n_imu = aux[5].astype(jnp.int32)
+        imu_rows = aux[KF_AUX_LEN:].reshape(cap, 7)
+        imu_mask = jnp.arange(cap) < n_imu
+
+        # ---- eviction capture on the PRE-eviction window ----
+        # (host uses it only when was_full & pose_graph.enabled)
+        cap_kf_id = win.kf_id[:3]
+        cap_kf_r = win.kf_r[:3]
+        cap_kf_t = win.kf_t[:3]
+        cap_vel0 = win.kf_vel[0]
+        if cfg.pose_graph.enabled and cfg.pose_graph.cov_weighted:
+            pair_w = marginals.window_pair_sqrt_info(win, cfg, r_cb, t_cb)
+        else:
+            pair_w = jnp.zeros((2, 6))
+        if use_imu:
+            imu_edge = _imu_edge_parts(preints, bg, ba, win.kf_r[0],
+                                       win.kf_vel[0], gravity_w)
+        else:
+            imu_edge = jnp.zeros(22)
+
+        # ---- append keyframe ----
+        ids = jnp.where(track.valid, track.ids, -1)
+        win = window.add_keyframe(
+            win, r_cur, t_cur, vel_cur, bg, ba, timestamp, frame_id,
+            track.uv, ids,
+        )
+
+        # ---- per-pair preintegration bookkeeping ----
+        if use_imu:
+            newp = pre.preintegrate(
+                imu_rows, imu_mask, bg, ba,
+                gyro_noise=icfg.gyro_noise, accel_noise=icfg.accel_noise,
+                gyro_bias_noise=icfg.gyro_bias_noise,
+                accel_bias_noise=icfg.accel_bias_noise,
+                min_dt=icfg.min_dt, max_dt=icfg.max_dt,
+            )
+            idx = jnp.where(was_full, max_kf - 2, jnp.minimum(n_pairs, max_kf - 2))
+            rolled = jax.lax.cond(
+                was_full,
+                lambda s: jax.tree_util.tree_map(
+                    lambda a: jnp.roll(a, -1, axis=0), s
+                ),
+                lambda s: s,
+                preints,
+            )
+            preints = jax.tree_util.tree_map(
+                lambda a, n: a.at[idx].set(n), rolled, newp
+            )
+            n_pairs = jnp.minimum(n_pairs + 1, max_kf - 1)
+
+        # ---- window solve ----
+        if use_imu:
+            pair_valid = (
+                (jnp.arange(max_kf - 1) < n_pairs)
+                & (preints.dt_total > 0.001)
+                & (preints.dt_total < 2.0)
+            )
+            win, res = window.window_viba(
+                win, t_bc, preints, pair_valid, gravity_w, bg, ba,
+                w, h, cfg.camera.boundary_margin,
+                huber_delta=cfg.window.huber_delta,
+                chi2_threshold=cfg.window.chi2_threshold,
+                max_iterations=cfg.window.viba_max_iterations,
+                inertial_weight=cfg.window.viba_inertial_weight,
+                bg_prior_weight=cfg.window.viba_bg_prior_weight,
+                ba_prior_weight=cfg.window.viba_ba_prior_weight,
+                dist_fn=dist_viba_fn,
+            )
+            bg, ba = res.bg, res.ba
+            preints = jax.vmap(pre.update_bias, in_axes=(0, None, None))(
+                preints, bg, ba
+            )
+        else:
+            win, res = window.window_ba(
+                win, t_bc, w, h, cfg.camera.boundary_margin,
+                huber_delta=cfg.window.huber_delta,
+                chi2_threshold=cfg.window.chi2_threshold,
+                max_iterations=cfg.window.max_lm_iterations,
+                backend=cfg.solver.backend,
+                dist_fn=dist_ba_fn,
+            )
+
+        # ---- periodic scale/gravity refinement (VIO; gated in-graph on
+        # the host's do_refine flag + the solution sanity bounds) ----
+        refine_applied = jnp.asarray(False)
+        refine_s = jnp.asarray(1.0, jnp.float32)
+        r_wg = jnp.eye(3)
+        t_anchor = jnp.zeros(3)
+        if use_imu:
+            ri = imu_init_mod.solve_imu_init(
+                win.kf_r, win.kf_t, preints, pair_valid,
+                gravity_magnitude=icfg.gravity_magnitude,
+            )
+            s_ok = (ri.scale > 0.5) & (ri.scale < 2.0)
+            refine_applied = do_refine & ri.success & s_ok
+            refine_s = jnp.where(refine_applied, ri.scale, 1.0)
+            r_wg_c = imu_init_mod.gravity_dir_to_rotation(ri.gravity_dir)
+            r_wg = jnp.where(refine_applied, r_wg_c, jnp.eye(3))
+            t_anchor = r_wg.T @ win.kf_t[0]
+            kf_r2, kf_t2, vel2, pts2 = imu_init_mod.align_gravity_and_scale(
+                win.kf_r, win.kf_t, win.kf_vel, win.lm_pos, r_wg, refine_s,
+            )
+            kf_ok = win.kf_id >= 0
+            app = refine_applied
+            win = dataclasses.replace(
+                win,
+                kf_r=jnp.where(app & kf_ok[:, None, None], kf_r2, win.kf_r),
+                kf_t=jnp.where(app & kf_ok[:, None], kf_t2, win.kf_t),
+                kf_vel=jnp.where(app & kf_ok[:, None], vel2, win.kf_vel),
+                lm_pos=jnp.where(
+                    app & win.lm_alive[:, None], pts2, win.lm_pos
+                ),
+            )
+
+        # ---- outlier feedback + triangulation ----
+        bad = _bad_slots(track, win.lm_slot, win.lm_feat_id, res.new_bad)
+        track = _relabel_tracks(track, bad)
+        win, n_new, n_dropped = window.triangulate_new_landmarks(
+            win, t_bc, w, h, live_ids=track.ids,
+        )
+
+        i_last = jnp.clip(win.n_kf - 1, 0, max_kf - 1)
+        r_out = win.kf_r[i_last]
+        t_out = win.kf_t[i_last]
+        vel_out = win.kf_vel[i_last] if use_imu else vel_cur
+
+        # ---- packed host record (see unpack_kf_record) ----
+        record = jnp.concatenate([
+            jnp.stack([
+                res.final_cost,
+                res.num_inliers.astype(jnp.float32),
+                n_new.astype(jnp.float32),
+                n_dropped.astype(jnp.float32),
+                jnp.sum(win.lm_alive).astype(jnp.float32),
+                jnp.sum(win.lm_marg & win.lm_alive).astype(jnp.float32),
+                refine_applied.astype(jnp.float32),
+                refine_s,
+            ]),
+            r_wg.ravel(),  # 9
+            t_anchor,  # 3
+            win.kf_id.astype(jnp.float32),  # K
+            win.kf_r.ravel(),  # 9K
+            win.kf_t.ravel(),  # 3K
+            cap_kf_id.astype(jnp.float32),  # 3
+            cap_kf_r.ravel(),  # 27
+            cap_kf_t.ravel(),  # 9
+            cap_vel0,  # 3
+            pair_w.ravel(),  # 12
+            imu_edge,  # 22
+        ])
+        return track, win, preints, bg, ba, r_out, t_out, vel_out, record
+
+    fn = _pjit(kf_step)
+    _KF_STEP_CACHE[cache_key] = fn
+    return fn
+
+
+def _imu_edge_parts(preints_stacked, bg, ba, kf_r0, kf_vel0, gravity_w):
+    """[22] flat vector: bias-corrected IMU odometry measurement for
+    the pose-graph edge of pair 0 (see estimator._imu_edge_measurement,
+    whose fields this flattens for the fused record): dr(9), dp(3),
+    dt(1), t_rel(3), cov_r_diag(3), cov_p_diag(3)."""
+    p0 = jax.tree_util.tree_map(lambda a: a[0], preints_stacked)
+    dbg = bg - p0.bg
+    dba = ba - p0.ba
+    dr = p0.delta_r @ lie.so3_exp(p0.j_rg @ dbg)
+    dp = p0.delta_p + p0.j_pg @ dbg + p0.j_pa @ dba
+    dt = p0.dt_total
+    t_rel = kf_r0.T @ (kf_vel0 * dt + 0.5 * gravity_w * dt * dt) + dp
+    cov_d = jnp.diagonal(p0.cov)
+    return jnp.concatenate([
+        dr.ravel(), dp, dt[None], t_rel, cov_d[0:3], cov_d[6:9],
+    ])
+
+
+def _bad_slots(track, lm_slot, lm_feat_id, new_bad):
+    """Tracker slots whose landmark BA just marked bad (id-joined so a
+    recycled slot is never hit; see estimator._bad_landmark_slots)."""
+    c = track.uv.shape[0]
+    dest = jnp.where(new_bad, jnp.clip(lm_slot, 0, c - 1), c)
+    bad_id = jnp.full((c,), -2, jnp.int32).at[dest].set(lm_feat_id, mode="drop")
+    return track.ids == bad_id
+
+
+def unpack_kf_record(rec, max_kf: int) -> dict:
+    """Host-side unpack of make_keyframe_step's flat record."""
+    import numpy as np
+
+    k = max_kf
+    o = 8
+    out = {
+        "ba_cost": float(rec[0]),
+        "ba_inliers": int(rec[1]),
+        "n_new": int(rec[2]),
+        "n_dropped": int(rec[3]),
+        "n_lm_alive": int(rec[4]),
+        "n_lm_marg": int(rec[5]),
+        "refine_applied": bool(rec[6] > 0.5),
+        "refine_s": float(rec[7]),
+    }
+    out["r_wg"] = rec[o:o + 9].reshape(3, 3).copy(); o += 9
+    out["t_anchor"] = rec[o:o + 3].copy(); o += 3
+    out["kf_id"] = rec[o:o + k].astype(np.int32); o += k
+    out["kf_r"] = rec[o:o + 9 * k].reshape(k, 3, 3).copy(); o += 9 * k
+    out["kf_t"] = rec[o:o + 3 * k].reshape(k, 3).copy(); o += 3 * k
+    out["cap_kf_id"] = rec[o:o + 3].astype(np.int32); o += 3
+    out["cap_kf_r"] = rec[o:o + 27].reshape(3, 3, 3).copy(); o += 27
+    out["cap_kf_t"] = rec[o:o + 9].reshape(3, 3).copy(); o += 9
+    out["cap_vel0"] = rec[o:o + 3].copy(); o += 3
+    out["pair_w"] = rec[o:o + 12].reshape(2, 6).copy(); o += 12
+    e = rec[o:o + 22]
+    out["imu_edge"] = {
+        "dr": e[0:9].reshape(3, 3).copy(),
+        "dp": e[9:12].copy(),
+        "dt": float(e[12]),
+        "t_rel": e[13:16].copy(),
+        "cov_r_diag": e[16:19].copy(),
+        "cov_p_diag": e[19:22].copy(),
+    }
+    return out

@@ -209,3 +209,31 @@ def preint_edge_sqrt_info(
         d[0:3], d[6:9], dt, vel_sigma=vel_sigma,
         min_sigma_t=min_sigma_t, min_sigma_r=min_sigma_r,
     )
+
+
+def window_pair_sqrt_info(win, cfg, r_cb, t_cb):
+    """Sqrt-information of a window's (0,1) and (0,2) relatives from
+    the marginal pose covariance at its CURRENT state. Mirrors
+    window.window_ba's problem construction exactly (same observations,
+    gauge and boundary filter). Traceable: composes into the fused
+    keyframe event (estimator/fused.py) or runs standalone."""
+    from ..estimator import window as window_mod
+    from ..geometry import camera as cam
+
+    pcfg = cfg.pose_graph
+    obs_uv, obs_mask = window_mod.observations(win)
+    obs_mask &= ~cam.is_near_boundary(
+        obs_uv, cfg.camera.width, cfg.camera.height,
+        cfg.camera.boundary_margin,
+    )
+    kf_ok = win.kf_id >= 0
+    fixed_pose = ~kf_ok | (jnp.arange(win.max_kf) == 0)
+    fixed_point = ~win.lm_alive | win.lm_marg
+    return window_relpose_sqrt_info(
+        win.kf_r, win.kf_t, win.lm_pos, obs_uv, obs_mask,
+        fixed_pose, fixed_point, r_cb, t_cb,
+        jnp.asarray([0, 0], jnp.int32), jnp.asarray([1, 2], jnp.int32),
+        cfg.camera.width, cfg.camera.height,
+        huber_delta=cfg.window.huber_delta,
+        min_sigma_t=pcfg.min_sigma_t, min_sigma_r=pcfg.min_sigma_r,
+    )
