@@ -43,16 +43,19 @@ def make_seq_mesh(devices=None) -> Mesh:
 def frame_step_single(
     img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb, r_cb, t_cb,
     *, width: int, height: int, lk_backend: str = "auto",
-    pnp_backend: str = "xla",
+    pnp_backend: str = "auto",
 ):
     """One sequence's frame step: LK track then PnP. Unbatched reference
     semantics for the sharded path (and the single-chip hot path).
     ``uv_guess`` is the rotation-predicted flow seed (the production
     tracker's _rotation_guess output; pass uv to disable).
 
-    ``pnp_backend`` defaults to the XLA formulation: it vmaps into one
-    fused batched program, which is the right shape for serving many
-    streams (the Pallas megakernel PnP targets single-stream latency).
+    ``pnp_backend`` "auto" resolves to the Pallas LM megakernel on TPU
+    — measured round 4: it vmaps cleanly over the batch (grid
+    extension; bit-identical to the unbatched kernel) and runs the B=8
+    PnP stage in 2.2 ms where the vmapped XLA formulation took 11.4 ms.
+    (Round 3 assumed the opposite without measuring the batched Pallas
+    path.)
     """
     uv_new, status, err = lk.track(
         img_prev, img_next, uv, valid, uv_guess=uv_guess, backend=lk_backend
@@ -71,7 +74,7 @@ def make_multi_seq_frame_step(
     *,
     axis: str = "seq",
     lk_backend: str = "auto",
-    pnp_backend: str = "xla",
+    pnp_backend: str = "auto",
 ):
     """Build a jitted frame step over [B, ...] batches sharded on ``axis``.
 
@@ -92,21 +95,36 @@ def make_multi_seq_frame_step(
     def local_fn(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb, r_cb, t_cb):
         if img_prev.shape[0] == 1:
             # One stream per device (the weak-scaling operating point):
-            # run the UNBATCHED program — the vmapped shape costs ~55%
-            # extra on a single stream (XLA schedules the batched
-            # einsums worse; SCALING.md §1) and buys nothing at B=1.
+            # run the UNBATCHED program — the batched shape costs extra
+            # on a single stream (XLA schedules the batched einsums
+            # worse; SCALING.md §1) and buys nothing at B=1.
             out = one(
                 img_prev[0], img_next[0], uv[0], valid[0], uv_guess[0],
                 points[0], marg[0], r_wb[0], t_wb[0], r_cb, t_cb,
             )
             return tuple(o[None] for o in out)
-        return jax.vmap(
-            lambda a, b, c, d, e, f, g, h, i: one(a, b, c, d, e, f, g, h, i, r_cb, t_cb)
-        )(img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb)
+        # lax.map, NOT vmap: a TPU core runs one program at a time, so
+        # sequentially executing the well-scheduled UNBATCHED program
+        # per stream wins over the vmapped shape (measured round 4:
+        # B=8 LK 19.4 ms vs 30.2 vmapped — the batched einsum layouts
+        # cost ~2.4x per stream; SCALING.md §6). Same total latency
+        # semantics for a serving batch.
+        return jax.lax.map(
+            lambda t: one(*t, r_cb, t_cb),
+            (img_prev, img_next, uv, valid, uv_guess, points, marg, r_wb, t_wb),
+        )
 
     b_spec = P(axis)
     in_specs = (b_spec,) * 9 + (P(), P())
     out_specs = (b_spec,) * 7
-    return _pjit(
-        shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    )
+    try:
+        # The Pallas PnP megakernel's outputs carry no varying-mesh-axes
+        # metadata; the program is collective-free (HLO-asserted in
+        # tests), so the vma check adds nothing here.
+        sm = shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older JAX: no check_vma kwarg
+        sm = shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return _pjit(sm)
