@@ -151,3 +151,21 @@ class TestPoseGraphE2E:
         finally:
             est.win = saved_win
             est.kf_pose_log = saved_log
+
+    def test_edges_carry_covariance_derived_weights(self, long_run):
+        """Round-4: edge sqrt-information is DERIVED per edge from the
+        window marginal covariance (solver/marginals.py), not config
+        constants — so weights must vary across edges and across axes,
+        stay finite, and respect the configured floors."""
+        est, rs, ts = long_run
+        assert est.cfg.pose_graph.cov_weighted
+        w = np.stack([e.w_sqrt for e in est.pg_edges])  # [E, 6]
+        assert w.shape[1] == 6 and np.isfinite(w).all() and (w > 0).all()
+        # derived weights vary edge-to-edge (constants would not)
+        assert np.std(w, axis=0).max() > 1e-3
+        # floors bound the maximum weight
+        pcfg = est.cfg.pose_graph
+        assert w[:, :3].max() <= 1.0 / pcfg.min_sigma_t + 1e-3
+        assert w[:, 3:].max() <= 1.0 / pcfg.min_sigma_r + 1e-3
+        kinds = {e.kind for e in est.pg_edges}
+        assert "vis" in kinds and "skip" in kinds
