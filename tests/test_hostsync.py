@@ -34,6 +34,43 @@ def test_fetch_tree_empty():
     assert hostsync.fetch_tree({}) == {}
 
 
+def test_fetch_tree_large_ints_exact():
+    """Ints beyond the f32 mantissa (>= 2^24) must round-trip exactly
+    through the bitcast carrier — e.g. frame ids in a long-lived
+    serving stream."""
+    big = np.asarray([2**24 + 1, -(2**24 + 3), 2**31 - 1, -(2**31)], np.int32)
+    out = hostsync.fetch_tree({"ids": jnp.asarray(big)})
+    assert out["ids"].dtype == np.int32
+    np.testing.assert_array_equal(out["ids"], big)
+
+
+def test_fetch_tree_rejects_64bit():
+    """Under x64 semantics (where a float64 leaf actually reaches the
+    pack), the carrier must refuse rather than silently round. Under
+    default f32 semantics jnp.asarray already narrows the leaf before
+    the guard, which is the same no-corruption outcome."""
+    import os
+    import subprocess
+    import sys
+
+    # Under default f32 semantics jnp.asarray narrows float64 before the
+    # guard can see it, so the hazard only exists under x64 — probe there.
+    code = (
+        "import jax.numpy as jnp\n"
+        "from vio360_tpu.utils import hostsync\n"
+        "try:\n"
+        "    hostsync.fetch_tree({'x': jnp.asarray([1.0], jnp.float64)})\n"
+        "except TypeError as e:\n"
+        "    assert '32-bit carrier' in str(e); print('GUARDED')\n"
+        "else:\n"
+        "    print('UNGUARDED')\n"
+    )
+    env = dict(os.environ, JAX_ENABLE_X64="true", JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "GUARDED" in res.stdout, (res.stdout, res.stderr)
+
+
 def test_frame_input_pack_unpacks_in_graph():
     """pack_frame_input's layout must match tracking_step's in-graph
     unpack (same slicing arithmetic, replicated here)."""

@@ -377,7 +377,6 @@ class Estimator:
             "kf_r": self.win.kf_r[:m],
             "kf_t": self.win.kf_t[:m],
             "kf_vel0": self.win.kf_vel[0],
-            "gravity": self.gravity_w,
         }
         if pcfg.cov_weighted:
             tree["pair_w"] = self._pair_sqrt_info()
@@ -925,26 +924,41 @@ class Estimator:
         # gravity (measured: blur-epoch inits reached 26° gravity error
         # at per-pair residuals under any usable threshold).
         n_pairs = max(self.n_pairs, 1)
-        half = jnp.arange(cfg.window.max_keyframes - 1) < (n_pairs // 2)
-        res_a = imu_init_mod.solve_imu_init(
-            self.win.kf_r, self.win.kf_t, stacked, pair_valid & half,
-            gravity_magnitude=cfg.imu.gravity_magnitude,
-        )
-        res_b = imu_init_mod.solve_imu_init(
-            self.win.kf_r, self.win.kf_t, stacked, pair_valid & ~half,
-            gravity_magnitude=cfg.imu.gravity_magnitude,
-        )
-        ok_h, cost1_h, scale_h, g_h, bg_h, ok_a, ok_b, g_a, g_b = hostsync.fetch_tree(
-            (res.success, res.stage1_cost, res.scale, res.gravity_w, res.bg,
-             res_a.success, res_b.success, res_a.gravity_w, res_b.gravity_w)
-        )
+        # Gravity from 1 preintegration pair is weakly determined, so on
+        # minimal windows (either half < 2 pairs, i.e. n_pairs < 4) the
+        # split gate would reject healthy inits on half-solver noise —
+        # fall back to the per-pair-cost gate alone there and skip the
+        # two half solves entirely (two fewer dispatches).
+        use_split = (n_pairs // 2) >= 2
+        if use_split:
+            half = jnp.arange(cfg.window.max_keyframes - 1) < (n_pairs // 2)
+            res_a = imu_init_mod.solve_imu_init(
+                self.win.kf_r, self.win.kf_t, stacked, pair_valid & half,
+                gravity_magnitude=cfg.imu.gravity_magnitude,
+            )
+            res_b = imu_init_mod.solve_imu_init(
+                self.win.kf_r, self.win.kf_t, stacked, pair_valid & ~half,
+                gravity_magnitude=cfg.imu.gravity_magnitude,
+            )
+            (ok_h, cost1_h, scale_h, g_h, bg_h, ok_a, ok_b, g_a, g_b
+             ) = hostsync.fetch_tree(
+                (res.success, res.stage1_cost, res.scale, res.gravity_w,
+                 res.bg, res_a.success, res_b.success, res_a.gravity_w,
+                 res_b.gravity_w)
+            )
+        else:
+            ok_h, cost1_h, scale_h, g_h, bg_h = hostsync.fetch_tree(
+                (res.success, res.stage1_cost, res.scale, res.gravity_w,
+                 res.bg)
+            )
+            ok_a = ok_b = False
         # Quality gates (new vs the reference's unconditional one-shot
         # init, Optimizer.cpp:972-1257): (a) gross stage-1 residual —
         # a corrupted visual window; (b) split-half gravity agreement —
         # overfit/unobservable gravity. Reject and retry at the next
         # keyframe (_create_keyframe) on fresher window data.
         per_pair = float(cost1_h) / n_pairs
-        split_deg = np.inf
+        split_deg = np.inf if use_split else 0.0
         if bool(ok_a) and bool(ok_b):
             ca = float(
                 np.dot(g_a, g_b) / max(np.linalg.norm(g_a) * np.linalg.norm(g_b), 1e-9)

@@ -216,7 +216,19 @@ def window_pair_sqrt_info(win, cfg, r_cb, t_cb):
     the marginal pose covariance at its CURRENT state. Mirrors
     window.window_ba's problem construction exactly (same observations,
     gauge and boundary filter). Traceable: composes into the fused
-    keyframe event (estimator/fused.py) or runs standalone."""
+    keyframe event (estimator/fused.py) or runs standalone.
+
+    INTENTIONAL approximation: the information matrix is assembled from
+    the VISION factors only, even when the window was solved by
+    window_viba. Inertial factors couple poses to velocities/biases, so
+    their pose-block contribution requires marginalizing the 9K
+    velocity/bias states out of the full VIBA information — extra
+    machinery for a systematically CONSERVATIVE effect: ignoring them
+    can only overestimate pose covariance, i.e. underweight (never
+    overweight) eviction edges relative to their true information. The
+    pose-graph solve degrades gracefully toward the odometry prior in
+    that direction; the opposite error (overconfident edges) would not.
+    """
     from ..estimator import window as window_mod
     from ..geometry import camera as cam
 
