@@ -175,7 +175,8 @@ class Estimator:
         )
         self.t_bc = jnp.asarray(cfg.t_bc_array())
         r_bc = self.t_bc[:3, :3]
-        self.r_cb = r_bc.T
+        self.r_bc = r_bc  # cached: slicing t_bc eagerly per frame would
+        self.r_cb = r_bc.T  # cost a relay dispatch (utils/hostsync.py)
         self.t_cb = -(r_bc.T @ self.t_bc[:3, 3])
 
         # ---- distributed window solvers (--mesh lm=N) ----
@@ -1029,7 +1030,7 @@ class Estimator:
                 self.track, self.win, self.img_prev, buf, self.key,
                 self.r_cur, self.t_cur, self.r_prev, self.t_prev,
                 self.vel_cur, self.bg, self.ba, self.gravity_w,
-                self.t_bc[:3, :3], self.r_cb, self.t_cb, cfg, use_imu,
+                self.r_bc, self.r_cb, self.t_cb, cfg, use_imu,
             )
             self.img_prev = buf
             # the frame's ONE host sync: a single packed [20] buffer

@@ -88,6 +88,33 @@ def _relabel_tracks(track: tracker.TrackState, mask):
     )
 
 
+def keyframe_decision(pnp_success, parallax, n_inl, n_active, cfg: VioConfig):
+    """The keyframe trigger, traceable and unit-testable.
+
+    Two triggers OR'd under PnP success:
+    - parallax: median shared-feature displacement from the last
+      keyframe snapshot >= min_parallax_for_keyframe — the reference's
+      ONLY rule (Estimator.cpp:616-635).
+    - starving (beyond-reference, default-on; set
+      tracking.kf_min_inlier_ratio = 0 for strict reference cadence):
+      PnP inliers below that fraction of the active map observations —
+      the local map has gone stale faster than parallax accumulates.
+      Gated on n_inl >= 3 * pnp_min_inliers: a keyframe taken during a
+      tracking collapse would bake a weakly-supported pose into the map,
+      so near-collapse frames coast on odometry instead.
+    """
+    parallax_kf = parallax >= cfg.tracking.min_parallax_for_keyframe
+    ratio = cfg.tracking.kf_min_inlier_ratio
+    if ratio > 0:
+        starving = (
+            (n_inl < ratio * jnp.maximum(n_active, 1))
+            & (n_inl >= 3 * cfg.window.pnp_min_inliers)
+        )
+    else:
+        starving = jnp.asarray(False)
+    return pnp_success & (parallax_kf | starving)
+
+
 def _predict_cv(r_cur, t_cur, r_prev, t_prev):
     """Constant-velocity pose prediction (Estimator.cpp:318-334)."""
     ri, ti = lie.se3_inverse(r_prev, t_prev)
@@ -232,18 +259,7 @@ def tracking_step(
     )
     n_active = jnp.sum(active).astype(jnp.int32)
     n_inl = res.num_inliers
-    parallax_kf = par >= cfg.tracking.min_parallax_for_keyframe
-    ratio = cfg.tracking.kf_min_inlier_ratio
-    if ratio > 0:
-        # Map-freshness trigger, gated on healthy pose support (a
-        # keyframe after a collapse would bake a bad pose into the map).
-        starving = (
-            (n_inl < ratio * jnp.maximum(n_active, 1))
-            & (n_inl >= 3 * cfg.window.pnp_min_inliers)
-        )
-    else:
-        starving = jnp.asarray(False)
-    is_kf = res.success & (parallax_kf | starving)
+    is_kf = keyframe_decision(res.success, par, n_inl, n_active, cfg)
 
     # ONE packed [20] f32 vector: the relay charges a full round trip
     # PER FETCHED ARRAY (measured ~5-60 ms each, utils/hostsync.py), so

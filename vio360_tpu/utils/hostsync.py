@@ -9,10 +9,14 @@ fetches that single array, and re-splits on the host.
 
 This is the host-side twin of estimator/fused.py's design rule: one
 dispatch, one transfer per decision point. Integer/bool leaves are
-EXACT for the full int32 range: they ride the f32 carrier via
-``bitcast_convert_type`` (the 32 bits pass through untouched) and are
-bitcast back on the host — no 2^24 rounding cliff. 64-bit leaves are
-rejected at trace time rather than silently truncated.
+EXACT for the full int32 range: each int rides the carrier as TWO f32
+lanes (hi = x >> 12, lo = x & 0xfff — both well inside the 24-bit
+mantissa) and is reassembled on the host — no 2^24 rounding cliff.
+A bitcast carrier would be cheaper but is NOT safe here: bitcasting
+small ints to f32 yields denormal bit patterns, and the TPU path
+flushes denormals to zero (measured: booleans arrived as False through
+the relay). 64-bit leaves are rejected at trace time rather than
+silently truncated.
 """
 
 from __future__ import annotations
@@ -23,8 +27,12 @@ import numpy as np
 
 from .precision import jit as _pjit
 
-# Dtypes whose values would be silently corrupted by a 32-bit carrier.
+# Dtypes whose values would be silently corrupted by the 32-bit carrier.
 _REJECT = (jnp.float64, jnp.int64, jnp.uint64, jnp.complex64, jnp.complex128)
+
+
+def _is_intlike(dt) -> bool:
+    return np.dtype(dt).kind in "biu"
 
 
 def _to_carrier(x):
@@ -38,10 +46,12 @@ def _to_carrier(x):
     if jnp.issubdtype(x.dtype, jnp.floating):
         # f32 passes through; f16/bf16 widen exactly.
         return jnp.ravel(x).astype(jnp.float32)
-    # bool / int / uint (<= 32 bits): ride the carrier bit-for-bit.
-    return jax.lax.bitcast_convert_type(
-        jnp.ravel(x).astype(jnp.int32), jnp.float32
-    )
+    # bool / int / uint (<= 32 bits): two f32 lanes per value, both
+    # exact in the 24-bit mantissa and FTZ-safe (normal floats).
+    v = jnp.ravel(x).astype(jnp.int32)
+    hi = (v >> 12).astype(jnp.float32)  # arithmetic shift: floor(v/4096)
+    lo = (v & 0xFFF).astype(jnp.float32)  # [0, 4096)
+    return jnp.concatenate([hi, lo])
 
 
 @_pjit
@@ -64,13 +74,13 @@ def fetch_tree(tree):
         shape = getattr(leaf, "shape", ())
         n = int(np.prod(shape)) if shape else 1
         dt = np.dtype(getattr(leaf, "dtype", np.float32))
-        chunk = flat[ofs:ofs + n]
-        if dt.kind in "biu":
-            # reverse the device-side bitcast, then narrow to the
-            # original integer/bool dtype (values are exact).
-            vals = np.ascontiguousarray(chunk).view(np.int32)
+        if _is_intlike(dt):
+            hi = flat[ofs:ofs + n].astype(np.int64)
+            lo = flat[ofs + n:ofs + 2 * n].astype(np.int64)
+            vals = (hi * 4096 + lo).astype(np.int32)
             out.append(vals.reshape(shape).astype(dt))
+            ofs += 2 * n
         else:
-            out.append(chunk.reshape(shape).astype(dt))
-        ofs += n
+            out.append(flat[ofs:ofs + n].reshape(shape).astype(dt))
+            ofs += n
     return jax.tree_util.tree_unflatten(treedef, out)
