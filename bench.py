@@ -285,18 +285,25 @@ def bench_pipeline_fps():
     data = ds.VioDataset(seq, image_size=(cfg.camera.width, cfg.camera.height))
     frames = [(f.image, f.timestamp, f.imu) for f in data]
 
-    def run():
+    def run(pipelined: bool):
         est = Estimator(cfg)
         t0 = time.perf_counter()
         states = []
         for img, t, imu in frames:
-            res = est.process_frame(img, t, imu)
-            states.append(res.state)
+            if pipelined:
+                states += [
+                    r.state for r in est.process_frame_async(img, t, imu)
+                ]
+            else:
+                states.append(est.process_frame(img, t, imu).state)
+        if pipelined:
+            states += [r.state for r in est.flush()]
         dt = time.perf_counter() - t0
         return est, dt, states
 
-    run()  # warm: compile everything the product loop reaches
-    est, dt, states = run()
+    run(False)  # warm: compile everything the product loop reaches
+    run(True)   # warm the pipelined resolve path too
+    est, dt, states = run(True)
     n_tracking = sum(s.startswith("tracking") for s in states)
     if n_tracking < len(frames) // 2:
         return None, None  # tracking collapsed; fps would be meaningless

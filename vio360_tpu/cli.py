@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
+        "--no-pipelined", action="store_true",
+        help="disable the software-pipelined frame loop (one-frame "
+        "deferred host sync; results still arrive in order)",
+    )
+    p.add_argument(
         "--viz-dir",
         default=None,
         help="write tracking video + map.ply + viewer.html + trajectory.png here",
@@ -159,30 +164,18 @@ def main(argv: list[str] | None = None) -> int:
         profiler_ctx.enter_context(jax.profiler.trace(args.profile))
     t0 = time.time()
     n_kf = 0
-    for frame in data:
-        if frame.index >= n:
-            break
-        if args.resume and frame.index <= est.frame_id:
-            continue  # already processed before the snapshot
-        res = est.process_frame(
-            frame.image, frame.timestamp, None if args.vo else frame.imu
-        )
+    # The pipelined loop (estimator.process_frame_async) defers each
+    # frame's host sync behind the next frame's dispatch — ~2x
+    # throughput on dispatch-latency links. Per-frame hooks that read
+    # estimator state synchronously (viz overlay, periodic checkpoints)
+    # need the sequential loop.
+    pipelined = not args.no_pipelined and video is None and not (
+        args.checkpoint and args.checkpoint_every
+    )
+
+    def handle(res):
+        nonlocal n_kf
         n_kf += int(res.is_keyframe)
-        if args.checkpoint and args.checkpoint_every and (
-            res.frame_id % args.checkpoint_every == 0
-        ):
-            est.save(args.checkpoint)
-        if video is not None:
-            tr = est.track
-            video.write(
-                viz.draw_tracking(
-                    frame.image,
-                    np.asarray(tr.uv), np.asarray(tr.prev_uv),
-                    np.asarray(tr.valid), np.asarray(tr.age),
-                    viz=cfg.viz,
-                    grid_cols=cfg.features.grid_cols, grid_rows=cfg.features.grid_rows,
-                )
-            )
         metrics.write(
             frame=res.frame_id,
             t=res.timestamp,
@@ -198,6 +191,37 @@ def main(argv: list[str] | None = None) -> int:
                 res.frame_id, res.state, res.n_tracked, res.n_pnp_inliers,
                 "  [KF]" if res.is_keyframe else "",
             )
+
+    for frame in data:
+        if frame.index >= n:
+            break
+        if args.resume and frame.index <= est.frame_id:
+            continue  # already processed before the snapshot
+        imu = None if args.vo else frame.imu
+        if pipelined:
+            for res in est.process_frame_async(frame.image, frame.timestamp, imu):
+                handle(res)
+            continue
+        res = est.process_frame(frame.image, frame.timestamp, imu)
+        if args.checkpoint and args.checkpoint_every and (
+            res.frame_id % args.checkpoint_every == 0
+        ):
+            est.save(args.checkpoint)
+        if video is not None:
+            tr = est.track
+            video.write(
+                viz.draw_tracking(
+                    frame.image,
+                    np.asarray(tr.uv), np.asarray(tr.prev_uv),
+                    np.asarray(tr.valid), np.asarray(tr.age),
+                    viz=cfg.viz,
+                    grid_cols=cfg.features.grid_cols, grid_rows=cfg.features.grid_rows,
+                )
+            )
+        handle(res)
+    if pipelined:
+        for res in est.flush():
+            handle(res)
     wall = time.time() - t0
     if profiler_ctx is not None:
         profiler_ctx.close()

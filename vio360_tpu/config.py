@@ -181,6 +181,44 @@ class PoseGraphConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Appearance-based loop closure + relocalization (loop/closure.py).
+
+    New capability vs the reference, which has neither (SURVEY.md §5:
+    "No relocalization, no loop closure"). The round-4 organic-drift
+    experiment showed the pose graph alone recovers ~1% ATE — loop
+    closures are the independent measurement that actually removes
+    accumulated drift."""
+    enabled: bool = True
+    db_capacity: int = 256  # keyframe place database (ring buffer)
+    # ring descriptor: latitude bands x longitude bins; must divide the
+    # image height / width (960x480 default -> 16x64)
+    desc_bands: int = 16
+    desc_bins: int = 64
+    patch_size: int = 8  # NCC patch side (pixels)
+    # retrieval gate: best circular-correlation score in [-1, 1]
+    min_score: float = 0.55
+    reloc_min_score: float = 0.40  # reloc searches the whole database
+    # candidates younger than this many keyframes are the sliding
+    # window's own recent past, not loops
+    exclude_recent_kf: int = 20
+    match_min_ncc: float = 0.60
+    match_min_margin: float = 0.02
+    min_matches: int = 20
+    min_inliers: int = 25
+    # correction sanity bounds: a "loop" implying a larger jump is a
+    # mismatch, not a correction
+    max_rot_correction_deg: float = 30.0
+    max_trans_correction: float = 5.0
+    # loop-edge sqrt-information (PnP-verified closures are far
+    # stronger than odometry edges)
+    edge_weight_t: float = 60.0
+    edge_weight_r: float = 200.0
+    # relocalization: consecutive tracking_lost frames before querying
+    reloc_after: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Nonlinear-solver kernel selection (PnP + window BA).
 
@@ -264,6 +302,7 @@ class VioConfig:
     window: WindowConfig = WindowConfig()
     solver: SolverConfig = SolverConfig()
     pose_graph: PoseGraphConfig = PoseGraphConfig()
+    loop: LoopConfig = LoopConfig()
     imu: ImuConfig = ImuConfig()
     viz: VisualizationConfig = VisualizationConfig()
     # T_BC: camera-to-body extrinsics (4x4 row-major tuple-of-tuples so the
@@ -369,5 +408,22 @@ def load_yaml(path: str) -> VioConfig:
     )
     return VioConfig(
         camera=cam, features=feats, tracking=tracking, init=init, imu=imu,
-        viz=viz, t_bc=t_bc,
+        viz=viz, t_bc=t_bc, loop=fit_loop_config(LoopConfig(), cam),
     )
+
+
+def fit_loop_config(loop: LoopConfig, cam: CameraConfig) -> LoopConfig:
+    """Snap the ring-descriptor grid to divisors of the image size
+    (the pooled reshape in loop/descriptor.py needs exact tiling)."""
+
+    def best_divisor(n: int, target: int) -> int:
+        for d in range(target, 0, -1):
+            if n % d == 0:
+                return d
+        return 1
+
+    bands = best_divisor(cam.height, loop.desc_bands)
+    bins = best_divisor(cam.width, loop.desc_bins)
+    if bands == loop.desc_bands and bins == loop.desc_bins:
+        return loop
+    return dataclasses.replace(loop, desc_bands=bands, desc_bins=bins)

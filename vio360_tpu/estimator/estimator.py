@@ -248,6 +248,26 @@ class Estimator:
         # per IMU mode
         self._kf_step_fn = None
         self._kf_step_use_imu: bool | None = None
+        # in-flight pipelined frame (process_frame_async)
+        self._pending: dict | None = None
+
+        # ---- loop closure + relocalization (loop/closure.py) ----
+        # New capability vs the reference (no reloc/loop path at all,
+        # SURVEY.md §5): keyframe place database + circular-correlation
+        # retrieval + PnP verification; accepted closures add "loop"
+        # pose-graph edges and rigidly correct the live window/map.
+        self.loop_closer = None
+        self.lost_streak = 0
+        self._last_kf_window_host = None  # (kf_id, kf_r, kf_t) host copy
+        if cfg.loop.enabled:
+            from ..config import fit_loop_config
+            from ..loop.closure import LoopCloser
+
+            fitted = fit_loop_config(cfg.loop, cfg.camera)
+            if fitted is not cfg.loop:
+                cfg = dataclasses.replace(cfg, loop=fitted)
+                self.cfg = cfg
+            self.loop_closer = LoopCloser(cfg)
 
         # ---- pose-graph store (solver/pose_graph.py) ----
         # Evicted keyframes leave BA's reach; SE(3) relative edges keep
@@ -606,12 +626,21 @@ class Estimator:
         for attr in ("t_cur", "t_prev"):
             setattr(self, attr, t_anchor_j + (r_gw_j @ getattr(self, attr) - t_anchor_j) * s)
         self.vel_cur = (r_gw_j @ self.vel_cur) * s
+        if self.loop_closer is not None:
+            # the place database stores world-frame landmarks/poses
+            self.loop_closer.transform(r_gw, s, t_anchor)
 
     # ------------------------------------------------------------------
 
     def process_frame(
         self, image, timestamp: float, imu: np.ndarray | None = None
     ) -> FrameResult:
+        if self._pending is not None:
+            # mixing the sync and pipelined APIs: drain the in-flight
+            # frame first so state evolution stays sequential (its
+            # FrameResult was already surfaced by nobody — callers
+            # should stick to one API; this keeps state correct anyway)
+            self.flush()
         self.frame_id += 1
         cfg = self.cfg
         imu_rows = (
@@ -1012,36 +1041,136 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _tracking_step(self, image_np, timestamp) -> FrameResult:
-        """Steady-state frame: one packed upload + one fused dispatch +
-        one scalar-bundle read (fused.tracking_step — prediction, LK,
-        RANSAC, landmark join, PnP, relabel, keyframe decision all on
-        device)."""
+        """Steady-state frame, synchronous form: one packed upload +
+        one fused dispatch + one scalar-bundle read (fused.tracking_step
+        — prediction, LK, RANSAC, landmark join, PnP, relabel, keyframe
+        decision all on device). Shares the dispatch/resolve machinery
+        with the pipelined path (process_frame_async), resolving
+        immediately instead of one frame later."""
+        cur = self._dispatch_tracking(image_np, timestamp, self.last_imu_rows)
+        cur["post_state"] = self._pipe_snapshot()
+        return self._resolve_pending(cur, None)
+
+    # ------------------------------------------------------------------
+    # Software-pipelined frame loop (VERDICT r4 item 1).
+    #
+    # The relay processes queued async ops in the BACKGROUND (measured:
+    # a fetch after 200 ms of host delay costs ~29 ms vs ~97 ms
+    # immediately — tools/profile_pipeline.py), so deferring frame N's
+    # scalar-bundle fetch until after frame N+1's upload+dispatch hides
+    # the upload+execute relay legs behind the previous fetch. Only the
+    # keyframe decision needs the bundle, and it tolerates one frame of
+    # latency: frame N+1 is dispatched SPECULATIVELY on the post-N
+    # state; if N turns out to be a keyframe, the state is rewound to
+    # the stashed post-N handles (device arrays are immutable — the
+    # rewind is free), the keyframe event runs, and N+1 re-dispatches
+    # from the refined state, making the pipelined trajectory EXACTLY
+    # equal to the sequential one (tests/test_pipelined.py).
+    # Counterpart of the reference's synchronous loop
+    # (app/main.cpp:178-223), which has no pipelining of any kind.
+    # ------------------------------------------------------------------
+
+    _PIPE_SNAP = (
+        "track", "win", "preints", "key", "img_prev",
+        "r_cur", "t_cur", "r_prev", "t_prev", "vel_cur", "bg", "ba",
+    )
+
+    def process_frame_async(self, image, timestamp, imu=None) -> list:
+        """Pipelined ``process_frame``: returns the FrameResults that
+        became available (possibly none this call; at most two around
+        mode transitions). Call ``flush()`` after the last frame."""
+        if self.img_prev is None or not self.initialized:
+            out = self.flush()
+            out.append(self.process_frame(image, timestamp, imu))
+            return out
+
+        self.frame_id += 1
+        imu_rows = (
+            np.asarray(imu, np.float64).reshape(-1, 7)
+            if imu is not None and len(imu)
+            else np.zeros((0, 7))
+        )
+        prev = self._pending
+        if prev is not None:
+            # state as of frame N's dispatch — the rewind point if N
+            # becomes a keyframe (captured BEFORE N+1's bookkeeping)
+            prev["post_state"] = self._pipe_snapshot()
+        if len(imu_rows):
+            self.imu_since_last_kf.append(imu_rows)
+            self.has_imu_stream = True
+        self.last_imu_rows = imu_rows
+        self.last_timestamp = timestamp
+
+        cur = self._dispatch_tracking(
+            np.asarray(image, np.float32), timestamp, imu_rows
+        )
+        out = []
+        if prev is not None:
+            out.append(self._resolve_pending(prev, cur))
+        self._pending = cur
+        return out
+
+    def flush(self) -> list:
+        """Resolve the in-flight pipelined frame, if any."""
+        prev = self._pending
+        if prev is None:
+            return []
+        prev.setdefault("post_state", self._pipe_snapshot())
+        self._pending = None
+        return [self._resolve_pending(prev, None)]
+
+    def _pipe_snapshot(self) -> dict:
+        snap = {k: getattr(self, k) for k in self._PIPE_SNAP}
+        snap["imu_since_last_kf"] = list(self.imu_since_last_kf)
+        snap["last_imu_rows"] = self.last_imu_rows
+        return snap
+
+    def _pipe_restore(self, snap: dict) -> None:
+        for k in self._PIPE_SNAP:
+            setattr(self, k, snap[k])
+        self.imu_since_last_kf = list(snap["imu_since_last_kf"])
+        self.last_imu_rows = snap["last_imu_rows"]
+
+    def _dispatch_tracking(self, image_np, timestamp, imu_rows) -> dict:
+        """Upload + dispatch one steady-state frame (no sync)."""
         cfg = self.cfg
-        use_imu = self.imu_initialized
         buf = jax.device_put(fused.pack_frame_input(
-            image_np, timestamp,
-            self.last_imu_rows if use_imu else None,
+            image_np, timestamp, imu_rows,
             cfg.imu.max_samples_per_frame, cfg.camera.width,
         ))
+        cur = {
+            "fid": self.frame_id, "ts": timestamp, "buf": buf,
+            "imu_rows": imu_rows,
+        }
+        self._dispatch_from_buf(cur)
+        return cur
 
-        with self._stage("tracking_step"):
-            (self.track, self.key, r_new, t_new, v_new,
-             bundle) = fused.tracking_step(
-                self.track, self.win, self.img_prev, buf, self.key,
-                self.r_cur, self.t_cur, self.r_prev, self.t_prev,
-                self.vel_cur, self.bg, self.ba, self.gravity_w,
-                self.r_bc, self.r_cb, self.t_cb, cfg, use_imu,
-            )
-            self.img_prev = buf
-            # the frame's ONE host sync: a single packed [20] buffer
-            b = fused.unpack_bundle(np.asarray(bundle))
+    def _dispatch_from_buf(self, cur: dict) -> None:
+        """Dispatch fused.tracking_step on ``cur['buf']`` against the
+        CURRENT state (used both for the speculative dispatch and the
+        post-keyframe re-dispatch)."""
+        cfg = self.cfg
+        use_imu = self.imu_initialized
+        (self.track, self.key, r_new, t_new, v_new,
+         bundle) = fused.tracking_step(
+            self.track, self.win, self.img_prev, cur["buf"], self.key,
+            self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+            self.vel_cur, self.bg, self.ba, self.gravity_w,
+            self.r_bc, self.r_cb, self.t_cb, cfg, use_imu,
+        )
+        self.img_prev = cur["buf"]
         self.r_prev, self.t_prev = self.r_cur, self.t_cur
         self.r_cur, self.t_cur = r_new, t_new
         self.vel_cur = v_new
+        cur["bundle"] = bundle
 
-        pnp_ok = b["success"]
-        is_kf = b["is_kf"]
-        n_inl = b["n_inliers"]
+    def _resolve_pending(self, prev: dict, cur: dict | None) -> FrameResult:
+        """Fetch frame N's bundle; on a keyframe, rewind to the post-N
+        state, run the keyframe event, and re-dispatch frame N+1."""
+        with self._stage("tracking_step"):
+            b = fused.unpack_bundle(np.asarray(prev["bundle"]))
+        fid, ts = prev["fid"], prev["ts"]
+        pnp_ok, is_kf = b["success"], b["is_kf"]
         r_np, t_np = b["r"], b["t"]
         diag = {
             "pnp_cost": float(b["pnp_cost"]),
@@ -1049,18 +1178,62 @@ class Estimator:
             "n_shared": int(b["n_shared"]),
             "n_active": int(b["n_active"]),
         }
-
-        if is_kf:
-            # keyframe pose was refined by BA — record the updated one
-            # (host copy returned from the KF event's single transfer)
-            r_np, t_np = self._create_keyframe(timestamp, diag)
-            self._record(timestamp, r_np, t_np)
-        else:
-            self._record(timestamp, r_np, t_np)
         state = "tracking" if pnp_ok else "tracking_lost"
-        return self._result(
-            timestamp, state, is_kf, int(b["n_tracked"]), n_inl, diag,
-            r=r_np, t=t_np,
+        if is_kf:
+            self._pipe_restore(prev["post_state"])
+            outer_fid = self.frame_id
+            self.frame_id = fid
+            try:
+                r_np, t_np = self._create_keyframe(ts, diag)
+                if self.loop_closer is not None:
+                    r_np, t_np = self._loop_on_keyframe(diag, r_np, t_np)
+            finally:
+                self.frame_id = outer_fid
+            self.lost_streak = 0
+            self._record(ts, r_np, t_np)
+            if cur is not None:
+                # sequential semantics: N+1's IMU rows re-enter the
+                # accumulator that the keyframe event just consumed,
+                # then N+1 re-runs from the refined post-KF state.
+                if len(cur["imu_rows"]):
+                    self.imu_since_last_kf.append(cur["imu_rows"])
+                self.last_imu_rows = cur["imu_rows"]
+                self._dispatch_from_buf(cur)
+        else:
+            if pnp_ok:
+                self.lost_streak = 0
+            else:
+                self.lost_streak += 1
+                if (
+                    self.loop_closer is not None
+                    and self.lost_streak >= self.cfg.loop.reloc_after
+                    and self.loop_closer.n_entries > 0
+                ):
+                    # relocalization changes device state -> rewind to
+                    # the post-N handles (like the keyframe path) so
+                    # the speculative N+1 can re-run afterwards
+                    self._pipe_restore(prev["post_state"])
+                    got = self._try_relocalize(diag)
+                    if got is not None:
+                        r_np, t_np = got
+                        state = "relocalized"
+                        self.lost_streak = 0
+                    if cur is not None:
+                        if len(cur["imu_rows"]):
+                            self.imu_since_last_kf.append(cur["imu_rows"])
+                        self.last_imu_rows = cur["imu_rows"]
+                        self._dispatch_from_buf(cur)
+            self._record(ts, r_np, t_np)
+        return FrameResult(
+            frame_id=fid,
+            timestamp=ts,
+            state=state,
+            r_wb=np.asarray(r_np),
+            t_wb=np.asarray(t_np),
+            is_keyframe=is_kf,
+            n_tracked=int(b["n_tracked"]),
+            n_pnp_inliers=int(b["n_inliers"]),
+            diag=diag,
         )
 
     def _create_keyframe(self, timestamp, diag):
@@ -1187,6 +1360,7 @@ class Estimator:
             if fid >= 0:
                 self.kf_pose_log[fid] = (kf_r_h[i], kf_t_h[i])
         self.last_kf_capture = (kf_r_h[i_last], kf_t_h[i_last])
+        self._last_kf_window_host = (kf_id_h, kf_r_h, kf_t_h)
         if int(scal[3]):
             log.warning(
                 "landmark slots saturated: dropped %d new landmarks "
@@ -1281,6 +1455,7 @@ class Estimator:
                 self.kf_pose_log[fid] = (rec["kf_r"][i], rec["kf_t"][i])
         self.last_kf_fid = self.frame_id
         self.last_kf_capture = (rec["kf_r"][i_last], rec["kf_t"][i_last])
+        self._last_kf_window_host = (rec["kf_id"], rec["kf_r"], rec["kf_t"])
         if rec["n_dropped"]:
             log.warning(
                 "landmark slots saturated: dropped %d new landmarks "
@@ -1295,6 +1470,102 @@ class Estimator:
             ba_inliers=rec["ba_inliers"],
         )
         return rec["kf_r"][i_last], rec["kf_t"][i_last]
+
+    # ------------------------------------------------------------------
+    # Loop closure + relocalization (loop/closure.py). No reference
+    # counterpart (SURVEY.md §5: no reloc, no loop closure).
+    # ------------------------------------------------------------------
+
+    def _loop_on_keyframe(self, diag, r_np, t_np):
+        """Ingest the new keyframe into the place database and, when it
+        is queryable, retrieve + verify a loop candidate. An accepted
+        closure (a) appends a ``loop`` edge to the pose-graph store and
+        (b) rigidly corrects the live window/map/current pose in one
+        dispatch (yaw-only rotation in VIO mode: gravity alignment must
+        survive)."""
+        lc = self.loop_closer
+        h = self.cfg.camera.height
+        ids = jnp.where(self.track.valid, self.track.ids, -1)
+        hit = lc.on_keyframe(
+            self.img_prev[:h], self.track.uv, ids, self.track.valid,
+            self.win, self.r_cur, self.t_cur, self.r_cb, self.t_cb,
+            self.frame_id, yaw_only=self.imu_initialized,
+        )
+        if hit is None:
+            return r_np, t_np
+        from ..loop import closure as loop_mod
+
+        lcfg = self.cfg.loop
+        w = np.concatenate([
+            np.full(3, lcfg.edge_weight_t), np.full(3, lcfg.edge_weight_r),
+        ]).astype(np.float32)
+        self.pg_edges.append(PgEdge(
+            hit["old_fid"], hit["cur_fid"],
+            hit["rel_r"].astype(np.float32), hit["rel_t"].astype(np.float32),
+            w, "loop",
+        ))
+        (self.win, self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+         self.vel_cur) = loop_mod.apply_world_correction(
+            self.win, jnp.asarray(hit["corr_r"]), jnp.asarray(hit["corr_t"]),
+            self.r_cur, self.t_cur, self.r_prev, self.t_prev, self.vel_cur,
+        )
+        # host mirrors of everything the correction moved
+        rc, tc = hit["corr_r"], hit["corr_t"]
+        if self._last_kf_window_host is not None:
+            kf_id_h, kf_r_h, kf_t_h = self._last_kf_window_host
+            for i in range(len(kf_id_h)):
+                f = int(kf_id_h[i])
+                if f >= 0:
+                    self.kf_pose_log[f] = (
+                        rc @ kf_r_h[i], rc @ kf_t_h[i] + tc
+                    )
+        if self.last_kf_capture is not None:
+            kr, kp = self.last_kf_capture
+            self.last_kf_capture = (rc @ kr, rc @ kp + tc)
+        diag["loop_closed_to"] = hit["old_fid"]
+        diag["loop_inliers"] = hit["n_inliers"]
+        diag["loop_score"] = round(hit["score"], 3)
+        log.info(
+            "loop closure: frame %d -> %d (%d matches, %d inliers, "
+            "score %.2f, |dt|=%.3f m)",
+            self.frame_id, hit["old_fid"], hit["n_match"],
+            hit["n_inliers"], hit["score"], float(np.linalg.norm(tc)),
+        )
+        return rc @ r_np, rc @ t_np + tc
+
+    def _try_relocalize(self, diag):
+        """Query the place database with the current (lost) frame and
+        PnP against the best candidate's stored landmarks. On success:
+        reset the pose, zero the velocity, and re-seed the map by
+        injecting the matched landmarks as marginalized entries linked
+        to the CURRENT tracker ids — PnP has associations again on the
+        very next frame."""
+        from ..loop import closure as loop_mod
+
+        lc = self.loop_closer
+        h = self.cfg.camera.height
+        ids = jnp.where(self.track.valid, self.track.ids, -1)
+        rec, r_dev, t_dev, inj_pos, inj_ok = lc.relocalize(
+            self.img_prev[:h], self.track.uv, ids, self.track.valid,
+            self.r_cb, self.t_cb,
+        )
+        if rec is None:
+            return None
+        self.r_cur, self.t_cur = r_dev, t_dev
+        self.r_prev, self.t_prev = r_dev, t_dev
+        self.vel_cur = jnp.zeros(3)
+        i_last = max(self.n_kf_host - 1, 0)
+        self.win = loop_mod.inject_landmarks(
+            self.win, inj_pos, inj_ok, ids, self.win.kf_id[i_last]
+        )
+        r_h, t_h = hostsync.fetch_tree((r_dev, t_dev))
+        diag["reloc_to"] = rec["old_fid"]
+        diag["reloc_inliers"] = rec["n_inliers"]
+        log.info(
+            "relocalized against frame %d (%d inliers, score %.2f)",
+            rec["old_fid"], rec["n_inliers"], rec["score"],
+        )
+        return np.asarray(r_h), np.asarray(t_h)
 
     def _refine_scale_gravity(self, diag):
         """Periodic inertial-only re-estimation of scale + gravity on the
@@ -1381,6 +1652,7 @@ class Estimator:
     )
 
     def capture_state(self) -> dict:
+        self.flush()  # resolve any in-flight pipelined frame first
         state: dict = {"version": 1, "last_kf_index": getattr(self, "last_kf_index", -1)}
         for name in self._SCALAR_STATE + self._ARRAY_STATE:
             state[name] = getattr(self, name)
@@ -1397,6 +1669,9 @@ class Estimator:
         ]
         state["last_kf_fid"] = self.last_kf_fid
         state["last_kf_capture"] = self.last_kf_capture
+        state["lost_streak"] = self.lost_streak
+        if self.loop_closer is not None:
+            state["loop"] = self.loop_closer.capture_state()
         state["pg_nodes"] = list(self.pg_nodes)
         state["pg_edges"] = [
             {
@@ -1457,6 +1732,9 @@ class Estimator:
             None if cap_kf is None
             else (np.asarray(cap_kf[0]), np.asarray(cap_kf[1]))
         )
+        self.lost_streak = int(state.get("lost_streak", 0))
+        if self.loop_closer is not None and "loop" in state:
+            self.loop_closer.restore_state(state["loop"])
         self.pg_nodes = [int(f) for f in state.get("pg_nodes", [])]
 
         def _edge(e: dict) -> PgEdge:
@@ -1505,6 +1783,7 @@ class Estimator:
         frame records exactly one entry). When evicted keyframes exist,
         a pose-graph solve first propagates the live window's refined
         poses back through the history (solver/pose_graph.py)."""
+        self.flush()  # resolve any in-flight pipelined frame
         self.optimize_pose_graph()
         ts = np.asarray([t for t, _, _ in self.trajectory])
         rs = np.stack([r for _, r, _ in self.trajectory]) if self.trajectory else np.zeros((0, 3, 3))
