@@ -44,31 +44,33 @@ def test_fetch_tree_large_ints_exact():
     np.testing.assert_array_equal(out["ids"], big)
 
 
-def test_fetch_tree_rejects_64bit():
-    """Under x64 semantics (where a float64 leaf actually reaches the
-    pack), the carrier must refuse rather than silently round. Under
-    default f32 semantics jnp.asarray already narrows the leaf before
-    the guard, which is the same no-corruption outcome."""
+def test_fetch_tree_x64_leaves():
+    """Under x64 semantics (--x64 double-precision mode), float64
+    leaves ride the carrier as a double-float (hi, lo) pair — the
+    round trip must preserve ~49 mantissa bits, far tighter than plain
+    f32 truncation — and int64 leaves narrow exactly through int32.
+    Runs in a subprocess because JAX_ENABLE_X64 is process-global."""
     import os
     import subprocess
     import sys
 
-    # Under default f32 semantics jnp.asarray narrows float64 before the
-    # guard can see it, so the hazard only exists under x64 — probe there.
     code = (
+        "import numpy as np\n"
         "import jax.numpy as jnp\n"
         "from vio360_tpu.utils import hostsync\n"
-        "try:\n"
-        "    hostsync.fetch_tree({'x': jnp.asarray([1.0], jnp.float64)})\n"
-        "except TypeError as e:\n"
-        "    assert '32-bit carrier' in str(e); print('GUARDED')\n"
-        "else:\n"
-        "    print('UNGUARDED')\n"
+        "v = np.asarray([1.0 + 2**-40, -12345.6789012345, 3e7], np.float64)\n"
+        "out = hostsync.fetch_tree({'x': jnp.asarray(v, jnp.float64),\n"
+        "                           'i': jnp.asarray([2**24 + 7], jnp.int64)})\n"
+        "assert out['x'].dtype == np.float64\n"
+        "rel = np.max(np.abs(out['x'] - v) / np.abs(v))\n"
+        "assert rel < 1e-13, rel\n"
+        "assert int(out['i'][0]) == 2**24 + 7\n"
+        "print('X64_CARRIER_OK')\n"
     )
     env = dict(os.environ, JAX_ENABLE_X64="true", JAX_PLATFORMS="cpu")
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=120)
-    assert "GUARDED" in res.stdout, (res.stdout, res.stderr)
+    assert "X64_CARRIER_OK" in res.stdout, (res.stdout, res.stderr)
 
 
 def test_frame_input_pack_unpacks_in_graph():
@@ -78,18 +80,19 @@ def test_frame_input_pack_unpacks_in_graph():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (h, w)).astype(np.float32)
     rows = rng.standard_normal((5, 7))
-    buf = fused.pack_frame_input(img, 12.25, rows, cap, w)
+    buf = fused.pack_frame_input(img, 12.25, rows, cap, w, frame_id=42)
     np.testing.assert_array_equal(buf[:h], img)
     aux = buf[h:].ravel()
     assert aux[0] == np.float32(12.25)
-    assert aux[1] == 1.0
-    got = aux[2:2 + 5 * 7].reshape(5, 7)
+    assert aux[1] == 42.0
+    assert aux[2] == 1.0
+    got = aux[3:3 + 5 * 7].reshape(5, 7)
     np.testing.assert_allclose(got, rows.astype(np.float32), rtol=1e-6)
-    mask = aux[2 + cap * 7:2 + cap * 8] > 0.5
+    mask = aux[3 + cap * 7:3 + cap * 8] > 0.5
     assert mask[:5].all() and not mask[5:].any()
     # no IMU rows
     buf2 = fused.pack_frame_input(img, 1.0, None, cap, w)
-    assert buf2[h:].ravel()[1] == 0.0
+    assert buf2[h:].ravel()[2] == 0.0
 
 
 def test_kf_record_pack_unpack_round_trip():

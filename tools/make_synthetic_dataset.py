@@ -66,6 +66,62 @@ def analytic_trajectory(ts: np.ndarray, accel_scale: float, yaw_rate: float):
     return p, v, a, phi
 
 
+def revisit_trajectory(ts: np.ndarray, accel_scale: float, yaw_rate: float,
+                       laps: int = 1):
+    """Closed-loop trajectory: leaves the start, travels a smooth
+    closed circuit, and RETURNS to the start pose — ``laps`` times over
+    the sequence — the loop-closure/relocalization test geometry
+    (VERDICT r4 item 3). With laps > 1 the camera re-traverses the SAME
+    circuit, so odometry drift accumulates lap over lap while every
+    lap-2+ keyframe has a lap-1 revisit to close against. High-
+    frequency low-amplitude wiggle keeps the IMU excited (scale
+    observable) on top of the slow circuit."""
+    s = accel_scale
+    T = float(ts[-1]) if len(ts) > 1 else 1.0
+    w0 = 2.0 * np.pi * laps / T
+
+    # slow closed circuit (period = sequence length)
+    cx, cy, cz = 1.4, 0.9, 0.3
+
+    def sincos(w, amp):
+        return (
+            amp * np.sin(w * ts),
+            amp * w * np.cos(w * ts),
+            -amp * w * w * np.sin(w * ts),
+        )
+
+    px, vx, ax = sincos(w0, cx)
+    py, vy, ay = sincos(2 * w0, cy / 2)
+    pz, vz, az = sincos(3 * w0, cz / 3)
+    # high-frequency excitation (integer multiples of w0: still closed)
+    k = max(int(round(2.0 / w0)), 8)  # ~2 rad/s wiggle
+    for axi, amp in ((0, 0.10 * s), (1, 0.08 * s), (2, 0.05 * s)):
+        w = k * w0 * (1.0 + 0.25 * axi)
+        w = round(w / w0) * w0  # keep it closed
+        p_, v_, a_ = sincos(w, amp)
+        if axi == 0:
+            px, vx, ax = px + p_, vx + v_, ax + a_
+        elif axi == 1:
+            py, vy, ay = py + p_, vy + v_, ay + a_
+        else:
+            pz, vz, az = pz + p_, vz + v_, az + a_
+
+    p = np.stack([px, py, pz], axis=-1)
+    v = np.stack([vx, vy, vz], axis=-1)
+    a = np.stack([ax, ay, az], axis=-1)
+    # yaw also closes (integer number of turns over the circuit)
+    n_turns = max(round(yaw_rate * T / (2 * np.pi)), 1)
+    phi = np.stack(
+        [
+            0.25 * np.sin(2 * w0 * ts / 1.0),
+            (n_turns * w0) * ts,
+            0.18 * np.sin(3 * w0 * ts) - 0.0,
+        ],
+        axis=-1,
+    )
+    return p, v, a, phi
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("out_dir")
@@ -111,6 +167,16 @@ def main(argv=None) -> int:
     p.add_argument("--vignette", type=float, default=0.0,
                    help="latitude falloff strength: poles darkened by "
                    "this fraction (stitched-360 illumination rolloff)")
+    p.add_argument("--laps", type=int, default=1,
+                   help="with --revisit: number of traversals of the "
+                   "closed circuit (drift accumulates per lap)")
+    p.add_argument("--revisit", action="store_true",
+                   help="closed-loop trajectory that returns to the "
+                   "start pose at the end (loop-closure test geometry)")
+    p.add_argument("--blackout", type=int, nargs=2, default=None,
+                   metavar=("FROM", "TO"),
+                   help="render frames [FROM, TO) as sensor-noise-only "
+                   "black (forced tracking loss; relocalization test)")
     args = p.parse_args(argv)
 
     import jax
@@ -139,7 +205,14 @@ def main(argv=None) -> int:
     n_samples = (args.frames - 1) * per_frame + 1
     ts = np.arange(n_samples) * dt
 
-    p_w, v_w, a_w, phi = analytic_trajectory(ts, args.accel_scale, args.yaw_rate)
+    if args.revisit:
+        p_w, v_w, a_w, phi = revisit_trajectory(
+            ts, args.accel_scale, args.yaw_rate, laps=args.laps
+        )
+    else:
+        p_w, v_w, a_w, phi = analytic_trajectory(
+            ts, args.accel_scale, args.yaw_rate
+        )
     r_wb = np.asarray(jax.vmap(lie.so3_exp)(jnp.asarray(phi, jnp.float32)))
 
     r_wg = np.asarray(
@@ -240,6 +313,12 @@ def main(argv=None) -> int:
         if args.pixel_noise > 0:
             img = img + rng.standard_normal(img.shape).astype(np.float32) * args.pixel_noise
         img = np.clip(img, 0.0, 1.0)
+        if args.blackout is not None and args.blackout[0] <= k < args.blackout[1]:
+            # total exposure failure: sensor noise floor only
+            img = np.clip(
+                rng.standard_normal(img.shape).astype(np.float32) * 0.01 + 0.02,
+                0.0, 1.0,
+            )
         np.save(os.path.join(args.out_dir, "images", f"{k:06d}.npy"), img.astype(np.float32))
 
     tio.write_tum(

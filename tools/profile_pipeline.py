@@ -95,7 +95,6 @@ def profile(seq: str, n_profile: int = 20):
     est = Estimator(cfg)
     ledger = []
     states = []
-    real_step = fused.tracking_step
     real_put = jax.device_put
     cur: dict = {}
 
@@ -108,29 +107,33 @@ def profile(seq: str, n_profile: int = 20):
         cur["n_put"] += 1
         return r
 
-    def timed_step(*a, **k):
+    class _FetchTimer:
+        """Wraps the record so np.asarray is timed."""
+
+        def __init__(self, b):
+            self._b = b
+
+        def __array__(self, dtype=None, copy=None):
+            ta = time.perf_counter()
+            r = np.asarray(self._b)
+            cur["fetch_ms"] = (time.perf_counter() - ta) * 1e3
+            return r if dtype is None else r.astype(dtype)
+
+        def __getitem__(self, k):
+            return np.asarray(self)[k]
+
+    # Patch at the estimator dispatch level so both program shapes
+    # (tracking_step and make_mega_step) are timed uniformly.
+    real_dispatch = est.__class__._dispatch_from_buf
+
+    def timed_dispatch(self_est, cur_dict):
         t0 = time.perf_counter()
-        out = real_step(*a, **k)
+        real_dispatch(self_est, cur_dict)
         cur["dispatch_ms"] = (time.perf_counter() - t0) * 1e3
-        bundle = out[-1]
-        t1 = time.perf_counter()
+        cur["mega"] = cur_dict.get("mega", False)
+        cur_dict["bundle"] = _FetchTimer(cur_dict["bundle"])
 
-        class _FetchTimer:
-            """Wraps the bundle so np.asarray is timed."""
-
-            def __init__(self, b):
-                self._b = b
-
-            def __array__(self, dtype=None, copy=None):
-                ta = time.perf_counter()
-                r = np.asarray(self._b)
-                cur["fetch_ms"] = (time.perf_counter() - ta) * 1e3
-                return r if dtype is None else r.astype(dtype)
-
-        cur["wrap_ms"] = (time.perf_counter() - t1) * 1e3
-        return (*out[:-1], _FetchTimer(bundle))
-
-    fused.tracking_step = timed_step
+    est.__class__._dispatch_from_buf = timed_dispatch
     import vio360_tpu.estimator.estimator as est_mod
 
     est_mod.jax.device_put = timed_put
@@ -148,7 +151,7 @@ def profile(seq: str, n_profile: int = 20):
                     **{k: round(v, 2) for k, v in cur.items()},
                 })
     finally:
-        fused.tracking_step = real_step
+        est.__class__._dispatch_from_buf = real_dispatch
         est_mod.jax.device_put = real_put
 
     return ledger, states

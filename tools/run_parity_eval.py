@@ -25,6 +25,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 REF_BIN = os.path.join(ROOT, "refharness", "build", "ref_harness")
+# Level-field variant (VERDICT r5 item 4): the reference with its own
+# commented-out RunVIBA call re-enabled (refharness/make_viba_estimator.py)
+REF_VIBA_BIN = os.path.join(ROOT, "refharness", "build", "ref_harness_viba")
 CFG_TPU = os.path.join(ROOT, "configs", "synthetic_480.yaml")
 CFG_REF = os.path.join(ROOT, "configs", "synthetic_480_ref.yaml")
 
@@ -104,6 +107,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     have_ref = os.path.isfile(REF_BIN) and not args.skip_ref
+    have_ref_viba = os.path.isfile(REF_VIBA_BIN) and not args.skip_ref
     seqs = [s for s in SEQUENCES if not (args.quick and s[0] == "vio_long")]
     results = []
 
@@ -167,9 +171,21 @@ def main(argv=None) -> int:
                 row["ref"]["keyframes"] = int(stats.get("keyframes", 0) or 0)
                 row["ref"]["initialized"] = stats.get("initialized") == "1"
             print(f"[{name}] reference:  {json.dumps(row['ref'])[:200]}")
+
+        # --- reference with its own VIBA re-enabled (VIO rows only) ---
+        if have_ref_viba and use_imu:
+            rv_tum = os.path.join(seq_dir, "ref_viba_traj.tum")
+            r, dt = run([REF_VIBA_BIN, seq_dir, CFG_REF, rv_tum])
+            if r.returncode or not os.path.isfile(rv_tum):
+                row["ref_viba"] = {"error": (r.stdout + r.stderr)[-400:]}
+            else:
+                row["ref_viba"] = evaluate(rv_tum, gt)
+                row["ref_viba"]["wall_s"] = round(dt, 1)
+            print(f"[{name}] ref(VIBA):  {json.dumps(row['ref_viba'])[:200]}")
         results.append(row)
 
-    out = {"have_ref": have_ref, "results": results}
+    out = {"have_ref": have_ref, "have_ref_viba": have_ref_viba,
+           "results": results}
     with open(os.path.join(ROOT, "eval_results.json"), "w") as f:
         json.dump(out, f, indent=1)
     write_eval_md(out)
@@ -205,8 +221,8 @@ def write_eval_md(out: dict) -> None:
         "Regenerate: `python tools/run_parity_eval.py` (add `--quick` to skip",
         "the 200-frame sequence).",
         "",
-        "| sequence | mode | extent | vio360_tpu ATE | ref ATE | tpu scale err | ref scale err | tpu RPE | ref RPE |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| sequence | mode | extent | vio360_tpu ATE | ref ATE | ref(VIBA on) ATE | tpu scale err | ref scale err | ref(VIBA) scale err | tpu RPE | ref RPE |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for row in out["results"]:
         t, r = row.get("tpu", {}), row.get("ref", {})
@@ -214,10 +230,12 @@ def write_eval_md(out: dict) -> None:
         # ATE is the meaningful accuracy metric there; VIO must recover
         # metric scale, so it is judged on se3.
         key = "ate_rmse_se3" if row["mode"] == "vio" else "ate_rmse_sim3"
+        rv = row.get("ref_viba", {})
         lines.append(
             f"| {row['name']} | {row['mode']} | {row['extent_m']:.2f} m "
-            f"| **{fmt(t, key)}** | {fmt(r, key)} "
+            f"| **{fmt(t, key)}** | {fmt(r, key)} | {fmt(rv, key)} "
             f"| {fmt(t, 'scale_error', 100, 1)}% | {fmt(r, 'scale_error', 100, 1)}% "
+            f"| {fmt(rv, 'scale_error', 100, 1)}% "
             f"| {fmt(t, 'rpe_trans_rmse')} | {fmt(r, 'rpe_trans_rmse')} |"
         )
     lines += [
@@ -246,6 +264,13 @@ def write_eval_md(out: dict) -> None:
         "  scale to a few percent, a capability the reference does not ship",
         "  working. The VIO-row multipliers quantify that capability gap, not",
         "  algorithmic superiority on a level field.",
+        "- `ref(VIBA on)` is the LEVEL-FIELD experiment (VERDICT r4 item 4):",
+        "  the reference rebuilt with its own commented-out RunVIBA call",
+        "  re-enabled verbatim (`refharness/make_viba_estimator.py` — the",
+        "  reference tree itself is never modified). Its inertial factor's",
+        "  pose Jacobians are zeroed in the reference source",
+        "  (Factors.cpp:1411-1418), so this is what the reference's inertial",
+        "  BA actually does when switched on.",
         "- Wall-clock is not compared here: the reference runs on 2 CPU cores,",
         "  vio360_tpu's production path targets TPU (see BENCH_r*.json).",
         "",

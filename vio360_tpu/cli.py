@@ -74,6 +74,16 @@ def main(argv: list[str] | None = None) -> int:
         "Pallas megakernels through the interpreter on CPU",
     )
     p.add_argument(
+        "--x64", action="store_true",
+        help="run the WHOLE pipeline in double precision (parity with "
+        "the reference, which optimizes in double via Ceres/Eigen — "
+        "Optimizer.cpp operates on double arrays). Enables JAX x64 "
+        "semantics and routes kernels through the XLA formulations "
+        "(the Pallas megakernels are f32-only by Mosaic). Measured "
+        "cost: see SCALING.md. Default f32 + measured mitigations "
+        "(polar renorm, relative ridges) matches f64 to mm-level",
+    )
+    p.add_argument(
         "--no-pose-graph", action="store_true",
         help="disable the export-time pose-graph refinement of the "
         "evicted-keyframe history (solver/pose_graph.py)",
@@ -97,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.isdir(img_dir):
         print(f"error: missing images directory {img_dir}", file=sys.stderr)
         return 2
+
+    if args.x64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     from . import config as cfgmod
     from .estimator.estimator import Estimator
@@ -128,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
         cfg = _dc.replace(
             cfg, pose_graph=_dc.replace(cfg.pose_graph, enabled=False)
         )
+    if args.x64:
+        # Mosaic has no f64 lowering; run the XLA twins of every kernel
+        cfg = _dc.replace(
+            cfg,
+            solver=_dc.replace(cfg.solver, backend="xla"),
+            optical_flow=_dc.replace(cfg.optical_flow, backend="matmul"),
+        )
+        log.info("x64: double-precision pipeline (XLA kernel backends)")
 
     data = ds.VioDataset(args.dataset_dir, image_size=(cfg.camera.width, cfg.camera.height))
     n = len(data)

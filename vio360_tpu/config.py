@@ -195,10 +195,18 @@ class LoopConfig:
     # image height / width (960x480 default -> 16x64)
     desc_bands: int = 16
     desc_bins: int = 64
-    patch_size: int = 8  # NCC patch side (pixels)
-    # retrieval gate: best circular-correlation score in [-1, 1]
-    min_score: float = 0.55
-    reloc_min_score: float = 0.40  # reloc searches the whole database
+    patch_size: int = 8  # NCC patch side (pixels, at the coarse level)
+    # pyramid levels to downsample before patch extraction: full-res
+    # patches on fine texture decorrelate within ~1 px of viewpoint
+    # change (see loop/descriptor.py::extract_patches)
+    patch_pyr_levels: int = 2
+    # retrieval gate on the VERIFIED candidate's correlation score.
+    # Deliberately permissive: retrieval only RANKS candidates; the
+    # decision is geometric (PnP inliers over the top-K, see
+    # loop/closure.py::_retrieve_and_verify_cam).
+    min_score: float = 0.20
+    reloc_min_score: float = 0.15  # reloc searches the whole database
+    verify_top_k: int = 4  # candidates patch-matched + PnP-verified
     # candidates younger than this many keyframes are the sliding
     # window's own recent past, not loops
     exclude_recent_kf: int = 20
@@ -210,6 +218,16 @@ class LoopConfig:
     # mismatch, not a correction
     max_rot_correction_deg: float = 30.0
     max_trans_correction: float = 5.0
+    # Live rigid corrections are RELOC-GRADE only: a correction below
+    # these floors is odometry-noise-scale and snapping the live window
+    # around at that scale is measured to HURT (129 small corrections
+    # on a 3-lap run: ATE 0.089 -> 0.689; the fine-grained gain comes
+    # from the export-time pose graph over the recorded loop edges).
+    min_trans_correction: float = 0.15
+    min_rot_correction_deg: float = 5.0
+    # a live correction must also be strongly verified and rate-limited
+    apply_inlier_factor: float = 2.0  # x min_inliers to apply
+    correction_cooldown_kf: int = 10
     # loop-edge sqrt-information (PnP-verified closures are far
     # stronger than odometry edges)
     edge_weight_t: float = 60.0
@@ -243,6 +261,14 @@ class SolverConfig:
     # (fused.make_keyframe_step). Off = the staged multi-dispatch path
     # (still used for bootstrap promotion and IMU-init retries).
     fused_keyframe: bool = True
+    # Fold the keyframe event INTO the frame program behind lax.cond
+    # (fused.make_mega_step): EVERY steady-state frame is exactly one
+    # upload + one dispatch + one combined-record fetch, keyframe or
+    # not — the op-count floor on dispatch-latency links, and the
+    # launch-overhead floor on local hardware. Requires fused_keyframe
+    # semantics; the staged and two-dispatch paths remain for
+    # transitions and as the equality oracle (tests/test_megastep.py).
+    megastep: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

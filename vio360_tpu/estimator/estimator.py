@@ -269,6 +269,19 @@ class Estimator:
                 self.cfg = cfg
             self.loop_closer = LoopCloser(cfg)
 
+        # ---- megastep device-owned keyframe-policy state ----
+        # (fused.make_mega_step: the keyframe event runs IN-GRAPH, so
+        # the IMU accumulator and the policy counters the host used to
+        # pack aux buffers must live on device; host copies are mirrors
+        # updated from the fetched records.)
+        self.kf_rows_dev = jnp.zeros((cfg.imu.max_samples_per_keyframe, 7))
+        self.kf_count_dev = jnp.asarray(0, jnp.int32)
+        self.n_pairs_dev = jnp.asarray(0, jnp.int32)
+        self.refine_count_dev = jnp.asarray(0, jnp.int32)
+        self._mega_fn = None
+        self._mega_use_imu: bool | None = None
+        self._mega_active = False
+
         # ---- pose-graph store (solver/pose_graph.py) ----
         # Evicted keyframes leave BA's reach; SE(3) relative edges keep
         # them connected to the live window so export-time pose-graph
@@ -534,8 +547,16 @@ class Estimator:
                 return None
             rs[i], ts_[i] = logged
             fixed[i] = False
-        for f in win_fids:
-            fixed[idx[f]] = True
+        # Gauge: with only odometry edges the live window IS the best
+        # available estimate — pin it and let the history follow. With
+        # LOOP edges the drift sits in the RECENT trajectory; pinning
+        # the window would drag the accurate old history toward the
+        # drifted present, so only the world anchor stays fixed and the
+        # loop constraints pull the recent keyframes back instead.
+        have_loops = any(e.kind == "loop" for e in edges)
+        if not have_loops:
+            for f in win_fids:
+                fixed[idx[f]] = True
         fixed[idx[nodes[0]]] = True  # world anchor
         ei = np.zeros(pc, np.int32)
         ej = np.zeros(pc, np.int32)
@@ -1073,6 +1094,7 @@ class Estimator:
     _PIPE_SNAP = (
         "track", "win", "preints", "key", "img_prev",
         "r_cur", "t_cur", "r_prev", "t_prev", "vel_cur", "bg", "ba",
+        "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
     )
 
     def process_frame_async(self, image, timestamp, imu=None) -> list:
@@ -1137,20 +1159,93 @@ class Estimator:
         buf = jax.device_put(fused.pack_frame_input(
             image_np, timestamp, imu_rows,
             cfg.imu.max_samples_per_frame, cfg.camera.width,
+            frame_id=self.frame_id,
         ))
         cur = {
             "fid": self.frame_id, "ts": timestamp, "buf": buf,
             "imu_rows": imu_rows,
+            # mirror watermark: entries at index >= this were appended
+            # AFTER this frame (pipelined successor) — the mega keyframe
+            # resolve keeps exactly those (device accumulator is
+            # authoritative; the host list is a mirror for transitions
+            # and checkpoints)
+            "imu_mirror_end": len(self.imu_since_last_kf),
         }
         self._dispatch_from_buf(cur)
         return cur
 
+    def _use_mega(self) -> bool:
+        scfg = self.cfg.solver
+        return (
+            scfg.megastep and scfg.fused_keyframe and self.initialized
+            and self.imu_initialized == self.has_imu_stream
+        )
+
+    def _sync_mega_state(self, exclude_last_chunk: bool) -> None:
+        """Host -> device sync of the keyframe-policy state when
+        entering megastep mode (one small upload; happens once per
+        mode transition). ``exclude_last_chunk`` drops the CURRENT
+        frame's just-appended rows: the mega program re-appends them
+        from the frame buffer, and syncing them too would preintegrate
+        the interval twice (measured: 10x VIBA cost on the first mega
+        keyframe)."""
+        cap = self.cfg.imu.max_samples_per_keyframe
+        chunks = (
+            self.imu_since_last_kf[:-1]
+            if exclude_last_chunk else self.imu_since_last_kf
+        )
+        rows = (
+            np.concatenate(chunks) if chunks else np.zeros((0, 7))
+        )
+        buf = np.zeros((cap, 7), np.float32)
+        n = min(len(rows), cap)
+        if n:
+            buf[:n] = rows[-n:]
+        self.kf_rows_dev = jax.device_put(buf)
+        self.kf_count_dev = jnp.asarray(n, jnp.int32)
+        self.n_pairs_dev = jnp.asarray(self.n_pairs, jnp.int32)
+        self.refine_count_dev = jnp.asarray(
+            self.scale_refine_count, jnp.int32
+        )
+
     def _dispatch_from_buf(self, cur: dict) -> None:
-        """Dispatch fused.tracking_step on ``cur['buf']`` against the
+        """Dispatch the frame program on ``cur['buf']`` against the
         CURRENT state (used both for the speculative dispatch and the
-        post-keyframe re-dispatch)."""
+        post-keyframe/post-correction re-dispatch). Megastep mode runs
+        tracking + conditional keyframe as ONE program."""
         cfg = self.cfg
         use_imu = self.imu_initialized
+        if self._use_mega():
+            if not self._mega_active:
+                self._sync_mega_state(len(cur["imu_rows"]) > 0)
+                self._mega_active = True
+            if self._mega_fn is None or self._mega_use_imu != use_imu:
+                self._mega_fn = fused.make_mega_step(
+                    cfg, use_imu, self._dist_ba_fn, self._dist_viba_fn
+                )
+                self._mega_use_imu = use_imu
+            (self.track, self.win, self.preints, self.kf_rows_dev,
+             self.kf_count_dev, self.n_pairs_dev, self.refine_count_dev,
+             self.key, r_new, t_new, v_new, self.bg, self.ba,
+             record) = self._mega_fn(
+                self.track, self.win, self.preints, self.kf_rows_dev,
+                self.kf_count_dev, self.n_pairs_dev,
+                self.refine_count_dev, self.img_prev, cur["buf"],
+                self.key, self.r_cur, self.t_cur, self.r_prev,
+                self.t_prev, self.vel_cur, self.bg, self.ba,
+                self.gravity_w, self.t_bc, self.r_bc, self.r_cb,
+                self.t_cb,
+            )
+            self.img_prev = cur["buf"]
+            self.r_prev, self.t_prev = self.r_cur, self.t_cur
+            self.r_cur, self.t_cur = r_new, t_new
+            self.vel_cur = v_new
+            cur["bundle"] = record
+            cur["mega"] = True
+            cur["use_imu"] = use_imu
+            return
+        self._mega_active = False
+        cur["use_imu"] = use_imu
         (self.track, self.key, r_new, t_new, v_new,
          bundle) = fused.tracking_step(
             self.track, self.win, self.img_prev, cur["buf"], self.key,
@@ -1167,8 +1262,10 @@ class Estimator:
     def _resolve_pending(self, prev: dict, cur: dict | None) -> FrameResult:
         """Fetch frame N's bundle; on a keyframe, rewind to the post-N
         state, run the keyframe event, and re-dispatch frame N+1."""
+        mega = prev.get("mega", False)
         with self._stage("tracking_step"):
-            b = fused.unpack_bundle(np.asarray(prev["bundle"]))
+            full = np.asarray(prev["bundle"])
+        b = fused.unpack_bundle(full[:20] if mega else full)
         fid, ts = prev["fid"], prev["ts"]
         pnp_ok, is_kf = b["success"], b["is_kf"]
         r_np, t_np = b["r"], b["t"]
@@ -1179,7 +1276,17 @@ class Estimator:
             "n_active": int(b["n_active"]),
         }
         state = "tracking" if pnp_ok else "tracking_lost"
-        if is_kf:
+        if is_kf and mega:
+            # the keyframe event already ran IN-GRAPH (make_mega_step);
+            # only host mirrors + the loop-closure query remain. No
+            # rewind: the speculative next-frame dispatch is valid.
+            rec = fused.unpack_kf_record(
+                full[20:], self.cfg.window.max_keyframes
+            )
+            r_np, t_np = self._apply_mega_kf_host(rec, prev, cur, diag)
+            self.lost_streak = 0
+            self._record(ts, r_np, t_np)
+        elif is_kf:
             self._pipe_restore(prev["post_state"])
             outer_fid = self.frame_id
             self.frame_id = fid
@@ -1471,6 +1578,73 @@ class Estimator:
         )
         return rec["kf_r"][i_last], rec["kf_t"][i_last]
 
+    def _apply_mega_kf_host(self, rec, prev, cur, diag):
+        """Host mirror updates for a keyframe that ran IN-GRAPH
+        (fused.make_mega_step): counters, IMU-mirror trim, pose-graph
+        eviction edges, history transform when the in-graph refine
+        applied, export pose log, and the loop-closure query. Mirrors
+        _create_keyframe_fused's post-record section — the device state
+        is already final."""
+        cfg = self.cfg
+        use_imu = prev.get("use_imu", self.imu_initialized)
+        max_kf = cfg.window.max_keyframes
+        was_full = self.n_kf_host == max_kf
+        self.n_kf_host = min(self.n_kf_host + 1, max_kf)
+        if use_imu:
+            self.n_pairs = min(self.n_pairs + 1, max_kf - 1)
+        # device accumulator is authoritative; trim the host mirror to
+        # the rows appended AFTER this frame (pipelined successor)
+        mirror_after = list(self.imu_since_last_kf[prev["imu_mirror_end"]:])
+        self.imu_since_last_kf = list(mirror_after)
+        prev["mirror_after"] = mirror_after
+        i_last = self.n_kf_host - 1
+
+        if was_full and cfg.pose_graph.enabled:
+            self._append_pg_edges_host(
+                rec["cap_kf_id"], rec["cap_kf_r"], rec["cap_kf_t"],
+                rec["cap_vel0"],
+                rec["pair_w"] if cfg.pose_graph.cov_weighted else None,
+                rec["imu_edge"] if use_imu else None,
+            )
+        if rec["refine_applied"]:
+            self.scale_refine_count += 1
+            diag["scale_refine"] = rec["refine_s"]
+            # every live device handle already derives from the
+            # in-graph-aligned state — transform host history only
+            kept = (self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+                    self.vel_cur)
+            self._transform_history(
+                rec["r_wg"], rec["refine_s"], t_anchor=rec["t_anchor"]
+            )
+            (self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+             self.vel_cur) = kept
+        for i in range(self.n_kf_host):
+            f = int(rec["kf_id"][i])
+            if f >= 0:
+                self.kf_pose_log[f] = (rec["kf_r"][i], rec["kf_t"][i])
+        self.last_kf_fid = prev["fid"]
+        self.last_kf_capture = (rec["kf_r"][i_last], rec["kf_t"][i_last])
+        self._last_kf_window_host = (rec["kf_id"], rec["kf_r"], rec["kf_t"])
+        if rec["n_dropped"]:
+            log.warning(
+                "landmark slots saturated: dropped %d new landmarks "
+                "(capacity %d)", rec["n_dropped"], self.win.max_lm,
+            )
+        diag.update(
+            n_new_landmarks=rec["n_new"],
+            n_lm_dropped=rec["n_dropped"],
+            n_lm_alive=rec["n_lm_alive"],
+            n_lm_marginalized=rec["n_lm_marg"],
+            ba_cost=rec["ba_cost"],
+            ba_inliers=rec["ba_inliers"],
+        )
+        r_np, t_np = rec["kf_r"][i_last], rec["kf_t"][i_last]
+        if self.loop_closer is not None:
+            r_np, t_np = self._loop_on_keyframe_mega(
+                prev, cur, diag, r_np, t_np
+            )
+        return r_np, t_np
+
     # ------------------------------------------------------------------
     # Loop closure + relocalization (loop/closure.py). No reference
     # counterpart (SURVEY.md §5: no reloc, no loop closure).
@@ -1504,6 +1678,12 @@ class Estimator:
             hit["rel_r"].astype(np.float32), hit["rel_t"].astype(np.float32),
             w, "loop",
         ))
+        diag["loop_closed_to"] = hit["old_fid"]
+        diag["loop_inliers"] = hit["n_inliers"]
+        diag["loop_score"] = round(hit["score"], 3)
+        if not hit["apply_correction"]:
+            # edge recorded; correction below the noise floor
+            return r_np, t_np
         (self.win, self.r_cur, self.t_cur, self.r_prev, self.t_prev,
          self.vel_cur) = loop_mod.apply_world_correction(
             self.win, jnp.asarray(hit["corr_r"]), jnp.asarray(hit["corr_t"]),
@@ -1522,15 +1702,81 @@ class Estimator:
         if self.last_kf_capture is not None:
             kr, kp = self.last_kf_capture
             self.last_kf_capture = (rc @ kr, rc @ kp + tc)
-        diag["loop_closed_to"] = hit["old_fid"]
-        diag["loop_inliers"] = hit["n_inliers"]
-        diag["loop_score"] = round(hit["score"], 3)
         log.info(
             "loop closure: frame %d -> %d (%d matches, %d inliers, "
             "score %.2f, |dt|=%.3f m)",
             self.frame_id, hit["old_fid"], hit["n_match"],
             hit["n_inliers"], hit["score"], float(np.linalg.norm(tc)),
         )
+        return rc @ r_np, rc @ t_np + tc
+
+    def _loop_on_keyframe_mega(self, prev, cur, diag, r_np, t_np):
+        """Loop-closure query for an IN-GRAPH keyframe (megastep). The
+        post-keyframe device handles live in ``prev["post_state"]`` (the
+        snapshot taken when the NEXT frame dispatched) — ingest/detect
+        reads them without touching the live (possibly one-frame-ahead)
+        state; only an ACCEPTED correction rewinds and re-dispatches."""
+        from ..loop import closure as loop_mod
+
+        lc = self.loop_closer
+        ps = prev["post_state"]
+        h = self.cfg.camera.height
+        track, win = ps["track"], ps["win"]
+        ids = jnp.where(track.valid, track.ids, -1)
+        hit = lc.on_keyframe(
+            prev["buf"][:h], track.uv, ids, track.valid, win,
+            ps["r_cur"], ps["t_cur"], self.r_cb, self.t_cb,
+            prev["fid"], yaw_only=self.imu_initialized,
+        )
+        if hit is None:
+            return r_np, t_np
+        lcfg = self.cfg.loop
+        w = np.concatenate([
+            np.full(3, lcfg.edge_weight_t), np.full(3, lcfg.edge_weight_r),
+        ]).astype(np.float32)
+        self.pg_edges.append(PgEdge(
+            hit["old_fid"], hit["cur_fid"],
+            hit["rel_r"].astype(np.float32), hit["rel_t"].astype(np.float32),
+            w, "loop",
+        ))
+        diag["loop_closed_to"] = hit["old_fid"]
+        diag["loop_inliers"] = hit["n_inliers"]
+        diag["loop_score"] = round(hit["score"], 3)
+        if not hit["apply_correction"]:
+            return r_np, t_np
+        # rewind to the post-keyframe state, apply the rigid world
+        # correction, fix the host mirrors, and re-run the speculative
+        # next frame from the corrected state
+        self._pipe_restore(ps)
+        self.imu_since_last_kf = list(prev.get("mirror_after", []))
+        (self.win, self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+         self.vel_cur) = loop_mod.apply_world_correction(
+            self.win, jnp.asarray(hit["corr_r"]), jnp.asarray(hit["corr_t"]),
+            self.r_cur, self.t_cur, self.r_prev, self.t_prev, self.vel_cur,
+        )
+        rc, tc = hit["corr_r"], hit["corr_t"]
+        if self._last_kf_window_host is not None:
+            kf_id_h, kf_r_h, kf_t_h = self._last_kf_window_host
+            for i in range(len(kf_id_h)):
+                f = int(kf_id_h[i])
+                if f >= 0:
+                    self.kf_pose_log[f] = (
+                        rc @ kf_r_h[i], rc @ kf_t_h[i] + tc
+                    )
+        if self.last_kf_capture is not None:
+            kr, kp = self.last_kf_capture
+            self.last_kf_capture = (rc @ kr, rc @ kp + tc)
+        log.info(
+            "loop closure: frame %d -> %d (%d matches, %d inliers, "
+            "score %.2f, |dt|=%.3f m)",
+            prev["fid"], hit["old_fid"], hit["n_match"],
+            hit["n_inliers"], hit["score"], float(np.linalg.norm(tc)),
+        )
+        if cur is not None:
+            if len(cur["imu_rows"]):
+                self.imu_since_last_kf.append(cur["imu_rows"])
+            self.last_imu_rows = cur["imu_rows"]
+            self._dispatch_from_buf(cur)
         return rc @ r_np, rc @ t_np + tc
 
     def _try_relocalize(self, diag):
@@ -1649,6 +1895,7 @@ class Estimator:
     _ARRAY_STATE = (
         "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
         "vel_cur", "bg", "ba", "gravity_w", "snapshots", "preints",
+        "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
     )
 
     def capture_state(self) -> dict:
@@ -1670,6 +1917,7 @@ class Estimator:
         state["last_kf_fid"] = self.last_kf_fid
         state["last_kf_capture"] = self.last_kf_capture
         state["lost_streak"] = self.lost_streak
+        state["_mega_active"] = self._mega_active
         if self.loop_closer is not None:
             state["loop"] = self.loop_closer.capture_state()
         state["pg_nodes"] = list(self.pg_nodes)
@@ -1693,7 +1941,11 @@ class Estimator:
             if name in state:  # tolerate pre-round-4 checkpoints
                 setattr(self, name, state[name])
         self.last_kf_index = state["last_kf_index"]
+        self._mega_active = bool(state.get("_mega_active", False))
         for name in self._ARRAY_STATE:
+            if name.endswith("_dev") and name not in state:
+                self._mega_active = False  # pre-round-5: re-sync lazily
+                continue
             if name == "preints" and name not in state:
                 # pre-round-4 checkpoint: host list of per-pair trees
                 self._set_preints([

@@ -127,30 +127,49 @@ def _predict_cv(r_cur, t_cur, r_prev, t_prev):
     return lie.so3_renormalize(r_pred), t_pred
 
 
-def pack_frame_input(image, timestamp, imu_rows, cap: int, width: int):
+def pack_frame_input(image, timestamp, imu_rows, cap: int, width: int,
+                     frame_id: int = 0):
     """Host-side: ONE [H+aux_rows, W] f32 buffer carrying the frame
-    image plus every per-frame scalar input (timestamp, IMU samples,
-    masks). The relay charges a round trip per uploaded array
+    image plus every per-frame scalar input (timestamp, frame id, IMU
+    samples, masks). The relay charges a round trip per uploaded array
     (utils/hostsync.py), so the frame's host->device traffic must be a
     single buffer — tracking_step unpacks it in-graph."""
     import numpy as np
 
     h, w = image.shape
-    n_aux = 2 + cap * 8  # timestamp, have_imu, samples [cap,7], mask [cap]
+    # timestamp, frame_id, have_imu, samples [cap,7], mask [cap]
+    n_aux = 3 + cap * 8
     aux_rows = -(-n_aux // width)
     buf = np.zeros((h + aux_rows, w), np.float32)
     buf[:h] = image
     aux = np.zeros(aux_rows * width, np.float32)
     aux[0] = timestamp
+    aux[1] = frame_id
     n = min(len(imu_rows), cap) if imu_rows is not None else 0
-    aux[1] = 1.0 if n else 0.0
+    aux[2] = 1.0 if n else 0.0
     if n:
-        aux[2:2 + n * 7] = np.asarray(
+        aux[3:3 + n * 7] = np.asarray(
             imu_rows[-n:], np.float32
         ).ravel()
-        aux[2 + cap * 7:2 + cap * 7 + n] = 1.0
+        aux[3 + cap * 7:3 + cap * 7 + n] = 1.0
     buf[h:] = aux.reshape(aux_rows, width)
     return buf
+
+
+def unpack_frame_buf(frame_buf, cfg):
+    """In-graph unpack of pack_frame_input's layout."""
+    h = cfg.camera.height
+    cap = cfg.imu.max_samples_per_frame
+    img = frame_buf[:h]
+    aux = frame_buf[h:].ravel()
+    return {
+        "img": img,
+        "timestamp": aux[0],
+        "frame_id": aux[1].astype(jnp.int32),
+        "have_imu": aux[2] > 0.5,
+        "imu_samples": aux[3:3 + cap * 7].reshape(cap, 7),
+        "imu_mask": aux[3 + cap * 7:3 + cap * 8] > 0.5,
+    }
 
 
 @functools.partial(_pjit, static_argnames=("cfg", "use_imu"))
@@ -189,14 +208,13 @@ def tracking_step(
     w, h = cfg.camera.width, cfg.camera.height
 
     # ---- unpack the single frame buffer (see pack_frame_input) ----
-    cap = cfg.imu.max_samples_per_frame
+    fb = unpack_frame_buf(frame_buf, cfg)
     img_prev = prev_buf[:h]
-    img_next = frame_buf[:h]
-    aux = frame_buf[h:].ravel()
-    timestamp = aux[0]
-    have_imu = aux[1] > 0.5
-    imu_samples = aux[2:2 + cap * 7].reshape(cap, 7)
-    imu_mask = aux[2 + cap * 7:2 + cap * 8] > 0.5
+    img_next = fb["img"]
+    timestamp = fb["timestamp"]
+    have_imu = fb["have_imu"]
+    imu_samples = fb["imu_samples"]
+    imu_mask = fb["imu_mask"]
 
     # ---- pose prediction (Estimator.cpp:318-334, 429-471) ----
     r_cv, t_cv = _predict_cv(r_cur, t_cur, r_prev, t_prev)
@@ -329,51 +347,26 @@ def pack_kf_input(timestamp, frame_id, n_pairs, was_full, do_refine,
 _KF_STEP_CACHE: dict = {}
 
 
-def make_keyframe_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
-                       dist_viba_fn=None):
-    """Build the fused keyframe event: eviction capture -> add_keyframe
-    -> KF preintegration append -> window (VI)BA -> bias re-linearize ->
-    scale/gravity refine -> outlier relabel -> triangulate -> packed
-    host record. The staged equivalent (estimator._create_keyframe's
-    round-3 form) made ~12 separate dispatches/fetches — each a full
-    round trip through a dispatch-latency environment
-    (utils/hostsync.py); here a keyframe is 1 upload + 1 dispatch + 1
-    record fetch, and on a local TPU one program amortizes every launch
-    overhead.
-
-    Returns a jitted ``kf_step(track, win, preints, aux_buf, r_cur,
-    t_cur, vel_cur, bg, ba, gravity_w, t_bc, r_cb, t_cb) ->
-    (track', win', preints', bg', ba', r_cur', t_cur', vel_cur',
-    record)`` where ``record`` is one flat f32 vector (see
-    unpack_kf_record).
-    """
+def _kf_event_body(
+    cfg: VioConfig, use_imu: bool, dist_ba_fn, dist_viba_fn,
+    track, win, preints, timestamp, frame_id, n_pairs, was_full,
+    do_refine, imu_rows, imu_mask, r_cur, t_cur, vel_cur, bg, ba,
+    gravity_w, t_bc, r_cb, t_cb,
+):
+    """The traceable keyframe event: eviction capture -> add_keyframe
+    -> KF preintegration append -> window (VI)BA -> bias re-linearize
+    -> scale/gravity refine -> outlier relabel -> triangulate ->
+    packed host record. Shared by make_keyframe_step (standalone
+    dispatch) and make_mega_step (inlined behind lax.cond in the frame
+    program). Returns (track', win', preints', bg', ba', r', t', vel',
+    record) — record is one flat f32 vector (unpack_kf_record)."""
     from ..solver import imu_init as imu_init_mod
     from ..solver import marginals
 
-    # The built program compiles in ~1 min at the production shape —
-    # cache per configuration so every Estimator instance (and every
-    # bench/CLI run in one process) reuses the compiled step.
-    cache_key = (cfg, use_imu, dist_ba_fn, dist_viba_fn)
-    hit = _KF_STEP_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
-
     w, h = cfg.camera.width, cfg.camera.height
-    cap = cfg.imu.max_samples_per_keyframe
     max_kf = cfg.window.max_keyframes
     icfg = cfg.imu
-
-    def kf_step(track, win, preints, aux, r_cur, t_cur, vel_cur, bg, ba,
-                gravity_w, t_bc, r_cb, t_cb):
-        timestamp = aux[0]
-        frame_id = aux[1].astype(jnp.int32)
-        n_pairs = aux[2].astype(jnp.int32)
-        was_full = aux[3] > 0.5
-        do_refine = aux[4] > 0.5
-        n_imu = aux[5].astype(jnp.int32)
-        imu_rows = aux[KF_AUX_LEN:].reshape(cap, 7)
-        imu_mask = jnp.arange(cap) < n_imu
-
+    if True:
         # ---- eviction capture on the PRE-eviction window ----
         # (host uses it only when was_full & pose_graph.enabled)
         cap_kf_id = win.kf_id[:3]
@@ -522,6 +515,42 @@ def make_keyframe_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
         ])
         return track, win, preints, bg, ba, r_out, t_out, vel_out, record
 
+
+def make_keyframe_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
+                       dist_viba_fn=None):
+    """Standalone fused keyframe event: 1 upload + 1 dispatch + 1
+    record fetch (see _kf_event_body). The staged equivalent made ~12
+    separate dispatches/fetches. Returns a jitted ``kf_step(track, win,
+    preints, aux_buf, r_cur, t_cur, vel_cur, bg, ba, gravity_w, t_bc,
+    r_cb, t_cb) -> (track', win', preints', bg', ba', r', t', vel',
+    record)``."""
+    # The built program compiles in ~1 min at the production shape —
+    # cache per configuration so every Estimator instance (and every
+    # bench/CLI run in one process) reuses the compiled step.
+    cache_key = ("kf", cfg, use_imu, dist_ba_fn, dist_viba_fn)
+    hit = _KF_STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    cap = cfg.imu.max_samples_per_keyframe
+
+    def kf_step(track, win, preints, aux, r_cur, t_cur, vel_cur, bg, ba,
+                gravity_w, t_bc, r_cb, t_cb):
+        timestamp = aux[0]
+        frame_id = aux[1].astype(jnp.int32)
+        n_pairs = aux[2].astype(jnp.int32)
+        was_full = aux[3] > 0.5
+        do_refine = aux[4] > 0.5
+        n_imu = aux[5].astype(jnp.int32)
+        imu_rows = aux[KF_AUX_LEN:].reshape(cap, 7)
+        imu_mask = jnp.arange(cap) < n_imu
+        return _kf_event_body(
+            cfg, use_imu, dist_ba_fn, dist_viba_fn,
+            track, win, preints, timestamp, frame_id, n_pairs, was_full,
+            do_refine, imu_rows, imu_mask, r_cur, t_cur, vel_cur, bg, ba,
+            gravity_w, t_bc, r_cb, t_cb,
+        )
+
     fn = _pjit(kf_step)
     _KF_STEP_CACHE[cache_key] = fn
     return fn
@@ -590,3 +619,137 @@ def unpack_kf_record(rec, max_kf: int) -> dict:
         "cov_p_diag": e[19:22].copy(),
     }
     return out
+
+
+# ----------------------------------------------------------------------
+# The WHOLE frame — tracking AND (conditionally) the keyframe event —
+# as ONE compiled dispatch.
+# ----------------------------------------------------------------------
+
+def kf_record_len(max_kf: int) -> int:
+    """Flat length of the keyframe record (see unpack_kf_record)."""
+    return 96 + 13 * max_kf
+
+
+def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
+                   dist_viba_fn=None):
+    """Build the megastep: fused tracking frame + in-graph conditional
+    keyframe event (lax.cond on the keyframe decision).
+
+    Measured motivation (tools/profile_pipeline.py, round 5): the
+    tunneled-TPU relay serializes ~30 ms of server time PER operation,
+    so the op COUNT per frame bounds throughput. The pipelined
+    two-dispatch design (tracking_step + make_keyframe_step) pays 3 ops
+    on plain frames but ~6-7 on keyframe frames (tracking fetch + aux
+    upload + kf dispatch + record fetch + re-dispatch); folding the
+    keyframe event INTO the frame program makes EVERY frame exactly
+    3 ops (1 packed upload, 1 dispatch, 1 combined-record fetch) and
+    removes the keyframe rewind entirely — the speculative next-frame
+    dispatch is always valid because the keyframe is already applied
+    in-graph. On a locally-attached TPU the same structure amortizes
+    launch overhead; XLA executes only the taken lax.cond branch.
+
+    The IMU rows since the last keyframe accumulate in a DEVICE ring
+    buffer fed by each frame's packed buffer (the host list is only a
+    mirror), and the keyframe-policy counters the host used to pack
+    (n_pairs, scale-refine budget, window fullness) are computed
+    in-graph — the host learns about a keyframe AFTER it happened, from
+    the combined record, which is exactly what the one-frame-deferred
+    pipelined resolve already tolerates.
+
+    Returns a jitted
+    ``mega(track, win, preints, kf_rows, kf_count, n_pairs,
+    refine_count, prev_buf, frame_buf, key, r_cur, t_cur, r_prev,
+    t_prev, vel_cur, bg, ba, gravity_w, t_bc, r_bc, r_cb, t_cb) ->
+    (track', win', preints', kf_rows', kf_count', n_pairs',
+    refine_count', key', r', t', v', record)`` where ``record`` is
+    ``concat(tracking bundle [20], keyframe record)`` — the keyframe
+    half is zeros on non-keyframe frames.
+    """
+    cache_key = ("mega", cfg, use_imu, dist_ba_fn, dist_viba_fn)
+    hit = _KF_STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    cap_kf = cfg.imu.max_samples_per_keyframe
+    max_kf = cfg.window.max_keyframes
+    rec_len = kf_record_len(max_kf)
+
+    def mega(track, win, preints, kf_rows, kf_count, n_pairs,
+             refine_count, prev_buf, frame_buf, key, r_cur, t_cur,
+             r_prev, t_prev, vel_cur, bg, ba, gravity_w, t_bc, r_bc,
+             r_cb, t_cb):
+        fb = unpack_frame_buf(frame_buf, cfg)
+        (track2, key2, r_new, t_new, v_new, bundle) = tracking_step(
+            track, win, prev_buf, frame_buf, key, r_cur, t_cur, r_prev,
+            t_prev, vel_cur, bg, ba, gravity_w, r_bc, r_cb, t_cb, cfg,
+            use_imu,
+        )
+        is_kf = bundle[1] > 0.5
+
+        # ---- device-side IMU accumulation since the last keyframe ----
+        cap_f = cfg.imu.max_samples_per_frame
+        idx = jnp.mod(kf_count + jnp.arange(cap_f), cap_kf)
+        upd = jnp.where(fb["imu_mask"][:, None], fb["imu_samples"],
+                        kf_rows[idx])
+        kf_rows = kf_rows.at[idx].set(upd)
+        kf_count = kf_count + jnp.sum(fb["imu_mask"]).astype(jnp.int32)
+
+        # ---- keyframe-policy scalars, in-graph (the host packed these
+        # in make_keyframe_step's aux; here they must not lag) ----
+        was_full = win.n_kf >= max_kf
+        n_kf_after = jnp.minimum(win.n_kf + 1, max_kf)
+        if use_imu:
+            pairs_after = jnp.minimum(n_pairs + 1, max_kf - 1)
+        else:
+            pairs_after = n_pairs
+        do_refine = (
+            jnp.asarray(use_imu)
+            & (refine_count < cfg.window.max_scale_refines)
+            & (n_kf_after >= 3)
+            & (pairs_after == n_kf_after - 1)
+        )
+
+        def kf_branch(op):
+            track_i, win_i, preints_i, bg_i, ba_i = op
+            # ring -> oldest-first rows (keep the NEWEST cap_kf rows,
+            # matching the staged path's rows[-cap:])
+            start = jnp.maximum(kf_count - cap_kf, 0)
+            order = jnp.mod(start + jnp.arange(cap_kf), cap_kf)
+            rows = kf_rows[order]
+            mask = jnp.arange(cap_kf) < jnp.minimum(kf_count, cap_kf)
+            (track_o, win_o, preints_o, bg_o, ba_o, r_o, t_o, v_o,
+             rec) = _kf_event_body(
+                cfg, use_imu, dist_ba_fn, dist_viba_fn,
+                track_i, win_i, preints_i, fb["timestamp"],
+                fb["frame_id"], n_pairs, was_full, do_refine, rows,
+                mask, r_new, t_new, v_new, bg_i, ba_i, gravity_w, t_bc,
+                r_cb, t_cb,
+            )
+            return (
+                track_o, win_o, preints_o, bg_o, ba_o, r_o, t_o, v_o,
+                jnp.asarray(0, jnp.int32),  # kf_rows count resets
+                pairs_after,
+                refine_count + (rec[6] > 0.5).astype(jnp.int32),
+                rec,
+            )
+
+        def no_kf(op):
+            track_i, win_i, preints_i, bg_i, ba_i = op
+            return (
+                track_i, win_i, preints_i, bg_i, ba_i, r_new, t_new,
+                v_new, kf_count, n_pairs, refine_count,
+                jnp.zeros(rec_len),
+            )
+
+        (track3, win3, preints3, bg3, ba3, r3, t3, v3, kf_count2,
+         n_pairs2, refine2, kfrec) = jax.lax.cond(
+            is_kf, kf_branch, no_kf, (track2, win, preints, bg, ba)
+        )
+        record = jnp.concatenate([bundle, kfrec])
+        return (track3, win3, preints3, kf_rows, kf_count2, n_pairs2,
+                refine2, key2, r3, t3, v3, bg3, ba3, record)
+
+    fn = _pjit(mega)
+    _KF_STEP_CACHE[cache_key] = fn
+    return fn

@@ -123,7 +123,9 @@ def unpack_record(rec) -> dict:
 def _describe_and_join(image, uv, ids, valid, win, cfg: VioConfig):
     lcfg = cfg.loop
     desc = desc_mod.ring_descriptor(image, lcfg.desc_bands, lcfg.desc_bins)
-    patches = desc_mod.extract_patches(image, uv, valid, lcfg.patch_size)
+    patches = desc_mod.extract_patches(
+        image, uv, valid, lcfg.patch_size, lcfg.patch_pyr_levels
+    )
     lm_idx = window_mod.slot_to_landmark(win, jnp.where(valid, ids, -1))
     safe = jnp.clip(lm_idx, 0, win.max_lm - 1)
     lm_pos = win.lm_pos[safe]
@@ -160,8 +162,9 @@ def make_loop_step(cfg: VioConfig):
             db = _ingest(db, write_idx, desc, patches, uv, lm_pos, lm_ok,
                          r_kf, t_kf)
             record, _, _, _ = _retrieve_and_verify_cam(
-                db, desc, patches, uv, valid, qmask, r_kf, t_kf,
-                r_kf, t_kf, r_cb, t_cb, cfg, yaw_only=yaw_only,
+                db, desc, patches, uv, valid, qmask,
+                jnp.asarray(False), r_kf, t_kf, r_cb, t_cb, cfg,
+                yaw_only=yaw_only,
             )
             return db, record
 
@@ -193,59 +196,83 @@ def make_ingest_step(cfg: VioConfig):
 
 
 def _retrieve_and_verify_cam(
-    db, desc, patches, uv, valid, qmask, r_seed, t_seed, r_kf, t_kf,
+    db, desc, patches, uv, valid, qmask, seed_from_cand, r_kf, t_kf,
     r_cb, t_cb, cfg: VioConfig, yaw_only: bool,
 ):
-    """_retrieve_and_verify with explicit camera extrinsics."""
+    """Retrieval + geometric verification over the TOP-K candidates.
+
+    Retrieval RANKS; geometry DECIDES: inside self-similar
+    environments the best-correlating entry is often not the true
+    revisit (measured on the revisit benchmark: a mid-circuit entry
+    out-scored the true one 0.36 vs 0.25), so the top-K candidates are
+    each patch-matched and PnP-verified (vmapped — one batched
+    program) and the candidate with the most chi2 inliers among the
+    PnP successes wins. A PnP-verified match is trustworthy regardless
+    of its retrieval rank: the inliers ARE correct 2D-3D
+    correspondences against the stored map.
+    """
     lcfg = cfg.loop
+    k = min(lcfg.verify_top_k, db.capacity)
     scores, shifts = desc_mod.score_all_shifts(desc, db.desc)
     scores = jnp.where(qmask, scores, -2.0)
-    cand = jnp.argmax(scores).astype(jnp.int32)
-    score = scores[cand]
+    top_s, top_i = jax.lax.top_k(scores, k)  # [K]
 
-    match_idx, _ = desc_mod.match_patches(
-        patches, valid, db.patches[cand], db.lm_ok[cand],
-        lcfg.match_min_ncc, lcfg.match_min_margin,
-    )
-    has = match_idx >= 0
-    safe_m = jnp.clip(match_idx, 0, match_idx.shape[0] - 1)
-    pts = db.lm_pos[cand, safe_m]
-    active = has & db.lm_ok[cand, safe_m]
-    n_match = jnp.sum(active).astype(jnp.int32)
+    def verify(ci):
+        match_idx, _ = desc_mod.match_patches(
+            patches, valid, db.patches[ci], db.lm_ok[ci],
+            lcfg.match_min_ncc, lcfg.match_min_margin,
+        )
+        has = match_idx >= 0
+        safe_m = jnp.clip(match_idx, 0, match_idx.shape[0] - 1)
+        pts = db.lm_pos[ci, safe_m]
+        active = has & db.lm_ok[ci, safe_m]
+        r_seed = jnp.where(seed_from_cand, db.pose_r[ci], r_kf)
+        t_seed = jnp.where(seed_from_cand, db.pose_t[ci], t_kf)
+        res = pnp_mod.solve_pnp(
+            r_seed, t_seed, pts, uv, active, jnp.zeros_like(active),
+            r_cb, t_cb, cfg.camera.width, cfg.camera.height,
+            huber_delta=cfg.window.huber_delta,
+            chi2_threshold=cfg.window.chi2_threshold,
+            rounds=cfg.window.pnp_rounds,
+            max_iterations=cfg.window.max_lm_iterations,
+            min_inliers=lcfg.min_inliers,
+            backend=cfg.solver.backend,
+        )
+        n_match = jnp.sum(active).astype(jnp.int32)
+        inj_ok = active & res.success & ~res.outlier
+        return (res.r_wb, res.t_wb, res.success, res.num_inliers,
+                res.final_cost, n_match, pts, inj_ok)
 
-    res = pnp_mod.solve_pnp(
-        r_seed, t_seed, pts, uv, active, jnp.zeros_like(active),
-        r_cb, t_cb, cfg.camera.width, cfg.camera.height,
-        huber_delta=cfg.window.huber_delta,
-        chi2_threshold=cfg.window.chi2_threshold,
-        rounds=cfg.window.pnp_rounds,
-        max_iterations=cfg.window.max_lm_iterations,
-        min_inliers=lcfg.min_inliers,
-        backend=cfg.solver.backend,
-    )
+    (r_all, t_all, ok_all, inl_all, cost_all, nm_all, pts_all,
+     inj_all) = jax.vmap(verify)(top_i)
+
+    quality = jnp.where(ok_all, inl_all, -1)
+    b = jnp.argmax(quality)
+    cand = top_i[b]
+    score = top_s[b]
+    r_pnp, t_pnp = r_all[b], t_all[b]
     r_old, t_old = db.pose_r[cand], db.pose_t[cand]
-    rel_r = r_old.T @ res.r_wb
-    rel_t = r_old.T @ (res.t_wb - t_old)
-    rc_full = res.r_wb @ r_kf.T
+    rel_r = r_old.T @ r_pnp
+    rel_t = r_old.T @ (t_pnp - t_old)
+    rc_full = r_pnp @ r_kf.T
     rc = _yaw_only(rc_full) if yaw_only else rc_full
-    tc = res.t_wb - rc @ t_kf
+    tc = t_pnp - rc @ t_kf
     record = jnp.concatenate([
         jnp.stack([
             score,
             cand.astype(jnp.float32),
             shifts[cand].astype(jnp.float32),
-            n_match.astype(jnp.float32),
-            res.success.astype(jnp.float32),
-            res.num_inliers.astype(jnp.float32),
-            res.final_cost,
+            nm_all[b].astype(jnp.float32),
+            ok_all[b].astype(jnp.float32),
+            inl_all[b].astype(jnp.float32),
+            cost_all[b],
         ]),
         rel_r.ravel(), rel_t, rc.ravel(), tc,
     ])
+
     # slot-aligned injection arrays for relocalization: the matched
     # landmark per current feature slot (world position) + validity
-    inj_pos = pts
-    inj_ok = active & res.success & ~res.outlier
-    return record, res, inj_pos, inj_ok
+    return record, (r_pnp, t_pnp), pts_all[b], inj_all[b]
 
 
 def make_reloc_step(cfg: VioConfig):
@@ -261,18 +288,14 @@ def make_reloc_step(cfg: VioConfig):
             image, lcfg.desc_bands, lcfg.desc_bins
         )
         patches = desc_mod.extract_patches(
-            image, uv, valid, lcfg.patch_size
+            image, uv, valid, lcfg.patch_size, lcfg.patch_pyr_levels
         )
-        scores, _ = desc_mod.score_all_shifts(desc, db.desc)
-        scores = jnp.where(qmask, scores, -2.0)
-        cand = jnp.argmax(scores).astype(jnp.int32)
-        record, res, inj_pos, inj_ok = _retrieve_and_verify_cam(
+        record, (r_b, t_b), inj_pos, inj_ok = _retrieve_and_verify_cam(
             db, desc, patches, uv, valid, qmask,
-            db.pose_r[cand], db.pose_t[cand],  # seed: candidate pose
-            db.pose_r[cand], db.pose_t[cand],
-            r_cb, t_cb, cfg, yaw_only=False,
+            jnp.asarray(True),  # PnP seeds from each candidate's pose
+            jnp.eye(3), jnp.zeros(3), r_cb, t_cb, cfg, yaw_only=False,
         )
-        return record, res.r_wb, res.t_wb, inj_pos, inj_ok
+        return record, r_b, t_b, inj_pos, inj_ok
 
     return _pjit(step)
 
@@ -360,6 +383,7 @@ class LoopCloser:
         self.entry_fid = np.full(n, -1, np.int64)
         self.entry_seq = np.full(n, -1, np.int64)
         self.seq = 0
+        self._last_correction_seq = -(10**9)
         self._ingest = make_ingest_step(cfg)
         self._step_full, self._step_yaw = make_loop_step(cfg)
         self._reloc = make_reloc_step(cfg)
@@ -394,7 +418,15 @@ class LoopCloser:
         w = self._write_idx()
         out = None
         if self.queryable():
-            qmask = jnp.asarray(self._query_mask(lcfg.exclude_recent_kf))
+            qm = self._query_mask(lcfg.exclude_recent_kf)
+            # after the ring wraps, the CURRENT frame's ingest
+            # overwrites slot w in-place — leaving it queryable would
+            # self-match the frame against its own just-written entry
+            # while the host still maps the slot to the OLD fid
+            # (measured: a cluster of rel~identity edges exactly
+            # db_capacity keyframes apart, 155 deg wrong vs GT)
+            qm[w] = False
+            qmask = jnp.asarray(qm)
             step = self._step_yaw if yaw_only else self._step_full
             self.db, rec_dev = step(
                 self.db, image, uv, ids, valid, win, r_kf, t_kf,
@@ -431,7 +463,20 @@ class LoopCloser:
         old_fid = int(self.entry_fid[rec["cand"]])
         if old_fid < 0 or old_fid == fid:
             return None
-        return {**rec, "old_fid": old_fid, "cur_fid": fid}
+        # Below the floors the EDGE is still valuable (export-time pose
+        # graph) but perturbing the live window is not; live corrections
+        # are reloc-grade events: large, strongly verified, rate-limited.
+        apply = (
+            (tmag >= lcfg.min_trans_correction
+             or ang >= lcfg.min_rot_correction_deg)
+            and rec["n_inliers"] >= lcfg.apply_inlier_factor * lcfg.min_inliers
+            and self.seq - self._last_correction_seq
+            >= lcfg.correction_cooldown_kf
+        )
+        if apply:
+            self._last_correction_seq = self.seq
+        return {**rec, "old_fid": old_fid, "cur_fid": fid,
+                "apply_correction": apply}
 
     # -- relocalization ---------------------------------------------------
     def relocalize(self, image, uv, ids, valid, r_cb, t_cb):
@@ -472,6 +517,7 @@ class LoopCloser:
             "entry_fid": self.entry_fid.copy(),
             "entry_seq": self.entry_seq.copy(),
             "seq": self.seq,
+            "last_correction_seq": self._last_correction_seq,
         }
 
     def restore_state(self, state: dict) -> None:
@@ -481,3 +527,6 @@ class LoopCloser:
         self.entry_fid = np.asarray(state["entry_fid"], np.int64).copy()
         self.entry_seq = np.asarray(state["entry_seq"], np.int64).copy()
         self.seq = int(state["seq"])
+        self._last_correction_seq = int(
+            state.get("last_correction_seq", -(10**9))
+        )
