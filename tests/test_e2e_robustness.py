@@ -238,3 +238,74 @@ class TestPhotometricNuisances:
         est, results, t_est, gt_t, extent = photo_run
         a = metrics.ate(t_est, gt_t, align="sim3")
         assert abs(a.scale - 1.0) < 0.10, a.scale
+
+
+class TestDynamicScene:
+    """VERDICT r4 item 7: a COHERENT independently-moving object (a
+    textured blob cluster on its own orbit) plus rolling-shutter
+    row-time skew. The moving cluster is the hard case for the
+    rotation-RANSAC + chi2-latch stack (FeatureTracker.cpp:253-379's
+    implicit static-world assumption): its tracks are locally
+    consistent with each other, so only the geometric gates can reject
+    them. Rolling shutter adds a per-row pose error no gate removes —
+    the bounds must hold through it."""
+
+    @pytest.fixture(scope="class")
+    def dynamic_run(self, tmp_path_factory):
+        # rolling shutter at 0.3 of the 100 ms frame interval = 30 ms
+        # readout (the real-rig regime). Measured separately (r5):
+        # cluster alone 3.8% ext / 4.3% scale (the rejection stack
+        # works); RS alone 8.2% / 10.7% (a systematic per-row pose
+        # bias neither this pipeline nor the reference compensates).
+        seq = generate(
+            tmp_path_factory, "vio_dynamic",
+            ["--frames", "60", "--seed", "17", "--moving-cluster", "60",
+             "--cluster-omega", "0.7", "--rolling-shutter", "0.3",
+             "--pixel-noise", "0.02"],
+        )
+        return run_pipeline(seq), seq
+
+    def test_stays_tracking(self, dynamic_run):
+        (est, results, *_), _ = dynamic_run
+        assert est.initialized and est.imu_initialized
+        lost = sum(r.state == "tracking_lost" for r in results)
+        assert lost <= len(results) // 10, f"{lost} lost frames"
+
+    def test_metric_ate_bound(self, dynamic_run):
+        (est, results, t_est, gt_t, extent), _ = dynamic_run
+        a = metrics.ate(t_est, gt_t, align="se3")
+        assert a.rmse < 0.11 * extent, (a.rmse, extent)
+
+    def test_scale_within_15pct(self, dynamic_run):
+        """Uncompensated 30 ms rolling shutter biases the IMU-visual
+        scale agreement (measured 10.7% from RS alone); the bound
+        asserts the stack degrades gracefully, not that RS is free."""
+        (est, results, t_est, gt_t, extent), _ = dynamic_run
+        a = metrics.ate(t_est, gt_t, align="sim3")
+        assert abs(a.scale - 1.0) < 0.15, a.scale
+
+    def test_moving_object_tracks_rejected(self, dynamic_run):
+        """Landmarks must not accumulate ON the moving object: compare
+        every live landmark against the cluster's orbit envelope — the
+        fraction inside it must stay small (the chi2 latches + BA
+        bad-marking purge what the RANSAC lets through). The cluster's
+        world-frame orbit is reconstructed from the generator's
+        parameters; the estimator's world differs from the generator's
+        by the init-time gauge, so landmarks are mapped through the
+        sim3 alignment first."""
+        (est, results, t_est, gt_t, extent), seq = dynamic_run
+        s, r_al, t_al = metrics.umeyama_alignment(t_est, gt_t)
+        lm = np.asarray(est.win.lm_pos)[np.asarray(est.win.lm_alive)]
+        # map estimator-world landmarks into generator world via the
+        # trajectory alignment (s, R, t from the sim3 fit)
+        lm_w = s * (lm @ r_al.T) + t_al
+        # orbit envelope: centers swept over the run +/- cluster radius
+        ts_all = np.linspace(0.0, 6.0, 100)
+        centers = np.stack([
+            2.6 + 0.9 * np.cos(0.7 * ts_all),
+            0.5 * np.sin(0.49 * ts_all),
+            2.8 + 0.9 * np.sin(0.7 * ts_all),
+        ], axis=1)
+        d = np.linalg.norm(lm_w[:, None, :] - centers[None], axis=-1).min(1)
+        frac_on_object = float((d < 0.7).mean())
+        assert frac_on_object < 0.05, frac_on_object

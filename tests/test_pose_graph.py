@@ -212,3 +212,102 @@ class TestDistributedPoseGraph:
         )
         # Both must actually have solved the graph.
         np.testing.assert_allclose(np.asarray(dist.t_wb), ts, atol=1e-3)
+
+
+class TestSim3Graph:
+    """Sim(3) pose graph (solver/pose_graph.py::optimize_pose_graph_sim3)
+    — scale-drift-aware loop closure for monocular VO. The defining
+    property an SE(3) graph lacks: a trajectory whose odometry scale
+    drifts lap-over-lap is EXACTLY repaired once a loop edge ties the
+    revisit back to the first-visit scale."""
+
+    def _scale_drift_problem(self, n=12, drift=1.5):
+        """Ground truth: unit-spaced waypoints on a closed loop.
+        Odometry measurements: correct directions, but lengths scaled
+        by a growing factor (monocular scale drift). One loop edge
+        (last -> first revisit) measured at TRUE scale."""
+        # ground-truth square loop
+        gt_t = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            gt_t.append([2 * np.cos(ang), 0.0, 2 * np.sin(ang)])
+        gt_t = np.asarray(gt_t, np.float32)
+        gt_r = np.stack([np.eye(3, dtype=np.float32)] * n)
+
+        # odometry-integrated estimate with per-step scale drift
+        est_t = [gt_t[0]]
+        for k in range(n - 1):
+            s_k = drift ** ((k + 1) / n)
+            step = (gt_t[k + 1] - gt_t[k]) * s_k
+            est_t.append(est_t[-1] + step)
+        est_t = np.asarray(est_t, np.float32)
+
+        ei, ej, rel_r, rel_t, w = [], [], [], [], []
+        for k in range(n - 1):
+            s_k = drift ** ((k + 1) / n)
+            ei.append(k); ej.append(k + 1)
+            rel_r.append(np.eye(3, dtype=np.float32))
+            # measured in the LOCAL (drifted) scale = what integrating
+            # the estimate reproduces
+            rel_t.append((gt_t[k + 1] - gt_t[k]) * s_k)
+            w.append([50, 50, 50, 200, 200, 200, 1.0 / 0.08])
+        # loop edge: last node observes node 0 at the LAST node's local
+        # (drifted) scale — what a PnP against the old map measures
+        # divided by the old map's (anchor) scale; its own scale
+        # residual is left nearly free (the drift IS the unknown)
+        ei.append(n - 1); ej.append(0)
+        rel_r.append(np.eye(3, dtype=np.float32))
+        rel_t.append((gt_t[0] - gt_t[n - 1]).astype(np.float32))
+        w.append([100, 100, 100, 300, 300, 300, 1.0])
+        fixed = np.zeros(n, bool); fixed[0] = True
+        return gt_r, gt_t, est_t, map(np.asarray, (ei, ej)), rel_r, rel_t, w, fixed
+
+    def test_loop_repairs_scale_drift(self):
+        gt_r, gt_t, est_t, (ei, ej), rel_r, rel_t, w, fixed = (
+            self._scale_drift_problem()
+        )
+        n = len(gt_t)
+        err_before = np.linalg.norm(est_t - gt_t, axis=1).max()
+        res = pose_graph.optimize_pose_graph_sim3(
+            jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * n)),
+            jnp.asarray(est_t),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.asarray(np.stack(rel_r)), jnp.asarray(np.stack(rel_t)),
+            jnp.asarray(np.stack(w), jnp.float32),
+            jnp.ones(len(rel_r), bool), jnp.asarray(fixed),
+            max_iterations=60,
+        )
+        t_out = np.asarray(res.t_wb)
+        err_after = np.linalg.norm(t_out - gt_t, axis=1).max()
+        assert float(res.final_cost) < float(res.initial_cost)
+        # scale drift was the dominant error; sim3 must remove most of it
+        assert err_after < 0.35 * err_before, (err_before, err_after)
+        # recovered per-node scales track the INVERSE of the injected
+        # drift (a node whose odometry ran at s_true needs s = 1/s_true
+        # for its drifted measurements to reproject onto the true
+        # geometry)
+        ls = np.asarray(res.log_s)
+        assert ls[0] == 0.0
+        assert np.all(np.diff(ls[: n - 1]) < 0.05)  # monotone-ish decay
+        assert ls[n - 2] < -0.2  # ~ -log(drift) = -0.405 at the end
+
+    def test_sim3_zero_residual_consistency(self):
+        """With consistent (drift-free) measurements the solve is a
+        no-op: zero residual at the initial state."""
+        n = 6
+        t = np.cumsum(np.ones((n, 3), np.float32) * [1, 0, 0], axis=0)
+        r = np.stack([np.eye(3, dtype=np.float32)] * n)
+        ei = np.arange(n - 1); ej = ei + 1
+        rel_r = np.stack([np.eye(3, dtype=np.float32)] * (n - 1))
+        rel_t = t[1:] - t[:-1]
+        w = np.full((n - 1, 7), 10.0, np.float32)
+        fixed = np.zeros(n, bool); fixed[0] = True
+        res = pose_graph.optimize_pose_graph_sim3(
+            jnp.asarray(r), jnp.asarray(t),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.asarray(rel_r), jnp.asarray(rel_t), jnp.asarray(w),
+            jnp.ones(n - 1, bool), jnp.asarray(fixed),
+        )
+        assert float(res.initial_cost) < 1e-8
+        np.testing.assert_allclose(np.asarray(res.t_wb), t, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.log_s), 0.0, atol=1e-5)

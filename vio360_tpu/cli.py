@@ -42,6 +42,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
+        "--step", action="store_true",
+        help="interactive stepping: pause after every frame "
+        "(Enter = next frame, a number = run N frames, c = continue "
+        "free-running, q = quit). Counterpart of the reference's "
+        "Pangolin pause/step UI (app/main.cpp:179-190, "
+        "VizUtils.h:77-91), driving the headless artifacts instead",
+    )
+    p.add_argument(
+        "--pause-on-init", action="store_true",
+        help="pause once when the estimator initializes (the "
+        "reference's pause_on_initialization flag, main.cpp:185-190)",
+    )
+    p.add_argument(
         "--no-pipelined", action="store_true",
         help="disable the software-pipelined frame loop (one-frame "
         "deferred host sync; results still arrive in order)",
@@ -192,9 +205,44 @@ def main(argv: list[str] | None = None) -> int:
     # throughput on dispatch-latency links. Per-frame hooks that read
     # estimator state synchronously (viz overlay, periodic checkpoints)
     # need the sequential loop.
+    interactive = args.step or args.pause_on_init
     pipelined = not args.no_pipelined and video is None and not (
         args.checkpoint and args.checkpoint_every
-    )
+    ) and not interactive
+
+    step_state = {"paused": args.step, "run_until": -1, "inited": False}
+
+    def interact(res):
+        """Reference pause/step loop (main.cpp:179-190) as a prompt:
+        blocks after a frame when stepping is active."""
+        if args.pause_on_init and not step_state["inited"] and res.state not in (
+            "bootstrapping",
+        ):
+            step_state["inited"] = True
+            step_state["paused"] = True
+            log.info("initialized at frame %d — paused (--pause-on-init)",
+                     res.frame_id)
+        if not step_state["paused"] or res.frame_id < step_state["run_until"]:
+            return True
+        while True:
+            try:
+                cmd = input(
+                    f"[frame {res.frame_id} {res.state}"
+                    f"{' KF' if res.is_keyframe else ''}] "
+                    "Enter=step, N=run N, c=continue, q=quit> "
+                ).strip()
+            except EOFError:
+                return False
+            if cmd == "":
+                return True
+            if cmd == "c":
+                step_state["paused"] = False
+                return True
+            if cmd == "q":
+                return False
+            if cmd.isdigit():
+                step_state["run_until"] = res.frame_id + int(cmd)
+                return True
 
     def handle(res):
         nonlocal n_kf
@@ -242,6 +290,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         handle(res)
+        if interactive and not interact(res):
+            log.info("stopped at frame %d (interactive quit)", res.frame_id)
+            break
     if pipelined:
         for res in est.flush():
             handle(res)

@@ -232,6 +232,9 @@ class Estimator:
         # pose get backfilled by their latest optimized values (new vs
         # the reference, which never exports a trajectory; SURVEY.md §5).
         self.kf_pose_log: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # per-keyframe local scale from the Sim(3) pose-graph solve
+        # (export-time only; 1.0 unless a monocular loop graph ran)
+        self.kf_scale_log: dict[int, float] = {}
         # Per-frame (ref_kf_frame_id, rel_r, rel_p) anchors: non-keyframe
         # poses are derived at export as T_kf_refined * rel, the
         # reference's Frame reference-keyframe mechanism
@@ -278,6 +281,22 @@ class Estimator:
         self.kf_count_dev = jnp.asarray(0, jnp.int32)
         self.n_pairs_dev = jnp.asarray(0, jnp.int32)
         self.refine_count_dev = jnp.asarray(0, jnp.int32)
+        # loop place-database: estimator-owned device state (threaded
+        # through the megastep for in-graph ingest); a 1-slot dummy
+        # when loop closure is disabled (the mega signature is fixed)
+        from ..loop import closure as _loop_mod
+
+        if self.loop_closer is not None:
+            self.loop_db_dev = self.loop_closer.db
+        else:
+            self.loop_db_dev = _loop_mod.empty_db(
+                dataclasses.replace(
+                    cfg,
+                    loop=dataclasses.replace(cfg.loop, db_capacity=1),
+                    features=dataclasses.replace(cfg.features, capacity=1),
+                )
+            )
+        self.loop_seq_dev = jnp.asarray(0, jnp.int32)
         self._mega_fn = None
         self._mega_use_imu: bool | None = None
         self._mega_active = False
@@ -569,6 +588,45 @@ class Estimator:
             rel_r[k], rel_t[k] = e.rel_r, e.rel_t
             w[k] = e.w_sqrt
             ev[k] = True
+        # Monocular VO + loop edges: scale drift is the dominant error
+        # (measured: per-lap map scale 6.54 -> 7.84 over 3 laps) and an
+        # SE(3) graph cannot express it — use the Sim(3) graph there.
+        use_sim3 = have_loops and not self.imu_initialized
+        if use_sim3:
+            w7 = np.zeros((pc, 7), np.float32)
+            w7[:, :6] = w
+            for k, e in enumerate(edges):
+                sig = (pcfg.sim3_loop_scale_sigma if e.kind == "loop"
+                       else pcfg.sim3_odom_scale_sigma)
+                w7[k, 6] = 1.0 / sig
+                if e.kind != "loop":
+                    # systematic-drift floor: the covariance-derived
+                    # odometry weights measure LOCAL precision; their
+                    # errors are correlated along the chain (that IS
+                    # the drift), so for the graph they carry at most
+                    # drift-fraction information (r5 tuning:
+                    # node-ATE 0.074 -> 0.046 on the 3-lap benchmark)
+                    sig_t = 0.05 * float(np.linalg.norm(e.rel_t)) + 1e-3
+                    w7[k, :3] = np.minimum(w7[k, :3], 1.0 / sig_t)
+                    w7[k, 3:6] = np.minimum(w7[k, 3:6], 1.0 / 0.03)
+            res = pg_mod.optimize_pose_graph_sim3(
+                jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei),
+                jnp.asarray(ej), jnp.asarray(rel_r), jnp.asarray(rel_t),
+                jnp.asarray(w7), jnp.asarray(ev), jnp.asarray(fixed),
+                max_iterations=3 * pcfg.max_iterations,
+            )
+            r_out, t_out, ls_out = hostsync.fetch_tree(
+                (res.r_wb, res.t_wb, res.log_s)
+            )
+            for f, i in idx.items():
+                if not fixed[i]:
+                    self.kf_pose_log[f] = (
+                        np.asarray(r_out[i]), np.asarray(t_out[i])
+                    )
+                    # per-node scale: non-keyframes re-derive through
+                    # relative anchors captured at the LOCAL scale
+                    self.kf_scale_log[f] = float(np.exp(ls_out[i]))
+            return res
         res = pg_mod.optimize_pose_graph(
             jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(rel_r), jnp.asarray(rel_t), jnp.asarray(w),
@@ -649,7 +707,9 @@ class Estimator:
         self.vel_cur = (r_gw_j @ self.vel_cur) * s
         if self.loop_closer is not None:
             # the place database stores world-frame landmarks/poses
+            self.loop_closer.db = self.loop_db_dev
             self.loop_closer.transform(r_gw, s, t_anchor)
+            self.loop_db_dev = self.loop_closer.db
 
     # ------------------------------------------------------------------
 
@@ -1095,6 +1155,7 @@ class Estimator:
         "track", "win", "preints", "key", "img_prev",
         "r_cur", "t_cur", "r_prev", "t_prev", "vel_cur", "bg", "ba",
         "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
+        "loop_db_dev", "loop_seq_dev",
     )
 
     def process_frame_async(self, image, timestamp, imu=None) -> list:
@@ -1152,6 +1213,8 @@ class Estimator:
             setattr(self, k, snap[k])
         self.imu_since_last_kf = list(snap["imu_since_last_kf"])
         self.last_imu_rows = snap["last_imu_rows"]
+        if self.loop_closer is not None:
+            self.loop_closer.db = self.loop_db_dev
 
     def _dispatch_tracking(self, image_np, timestamp, imu_rows) -> dict:
         """Upload + dispatch one steady-state frame (no sync)."""
@@ -1207,6 +1270,11 @@ class Estimator:
         self.refine_count_dev = jnp.asarray(
             self.scale_refine_count, jnp.int32
         )
+        if self.loop_closer is not None:
+            self.loop_db_dev = self.loop_closer.db
+            self.loop_seq_dev = jnp.asarray(
+                self.loop_closer.seq, jnp.int32
+            )
 
     def _dispatch_from_buf(self, cur: dict) -> None:
         """Dispatch the frame program on ``cur['buf']`` against the
@@ -1226,16 +1294,20 @@ class Estimator:
                 self._mega_use_imu = use_imu
             (self.track, self.win, self.preints, self.kf_rows_dev,
              self.kf_count_dev, self.n_pairs_dev, self.refine_count_dev,
+             self.loop_db_dev, self.loop_seq_dev,
              self.key, r_new, t_new, v_new, self.bg, self.ba,
              record) = self._mega_fn(
                 self.track, self.win, self.preints, self.kf_rows_dev,
                 self.kf_count_dev, self.n_pairs_dev,
-                self.refine_count_dev, self.img_prev, cur["buf"],
+                self.refine_count_dev, self.loop_db_dev,
+                self.loop_seq_dev, self.img_prev, cur["buf"],
                 self.key, self.r_cur, self.t_cur, self.r_prev,
                 self.t_prev, self.vel_cur, self.bg, self.ba,
                 self.gravity_w, self.t_bc, self.r_bc, self.r_cb,
                 self.t_cb,
             )
+            if self.loop_closer is not None:
+                self.loop_closer.db = self.loop_db_dev
             self.img_prev = cur["buf"]
             self.r_prev, self.t_prev = self.r_cur, self.t_cur
             self.r_cur, self.t_cur = r_new, t_new
@@ -1640,6 +1712,7 @@ class Estimator:
         )
         r_np, t_np = rec["kf_r"][i_last], rec["kf_t"][i_last]
         if self.loop_closer is not None:
+            self.loop_closer.note_ingested(prev["fid"])
             r_np, t_np = self._loop_on_keyframe_mega(
                 prev, cur, diag, r_np, t_np
             )
@@ -1721,12 +1794,18 @@ class Estimator:
         lc = self.loop_closer
         ps = prev["post_state"]
         h = self.cfg.camera.height
-        track, win = ps["track"], ps["win"]
+        track = ps["track"]
         ids = jnp.where(track.valid, track.ids, -1)
-        hit = lc.on_keyframe(
-            prev["buf"][:h], track.uv, ids, track.valid, win,
+        # the ingest already happened IN-GRAPH (make_mega_step keyframe
+        # branch); only the query runs here. The NEXT ring slot may
+        # have been dirtied by an in-flight (speculatively dispatched,
+        # unresolved) keyframe whose identity the host does not know
+        # yet — mask it.
+        hit = lc.detect(
+            prev["buf"][:h], track.uv, ids, track.valid,
             ps["r_cur"], ps["t_cur"], self.r_cb, self.t_cb,
             prev["fid"], yaw_only=self.imu_initialized,
+            extra_mask_slots=(lc.seq,),
         )
         if hit is None:
             return r_np, t_np
@@ -1896,6 +1975,7 @@ class Estimator:
         "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
         "vel_cur", "bg", "ba", "gravity_w", "snapshots", "preints",
         "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
+        "loop_db_dev", "loop_seq_dev",
     )
 
     def capture_state(self) -> dict:
@@ -1919,6 +1999,7 @@ class Estimator:
         state["lost_streak"] = self.lost_streak
         state["_mega_active"] = self._mega_active
         if self.loop_closer is not None:
+            self.loop_closer.db = self.loop_db_dev
             state["loop"] = self.loop_closer.capture_state()
         state["pg_nodes"] = list(self.pg_nodes)
         state["pg_edges"] = [
@@ -1987,6 +2068,8 @@ class Estimator:
         self.lost_streak = int(state.get("lost_streak", 0))
         if self.loop_closer is not None and "loop" in state:
             self.loop_closer.restore_state(state["loop"])
+            self.loop_db_dev = self.loop_closer.db
+            self.loop_seq_dev = jnp.asarray(self.loop_closer.seq, jnp.int32)
         self.pg_nodes = [int(f) for f in state.get("pg_nodes", [])]
 
         def _edge(e: dict) -> PgEdge:
@@ -2050,8 +2133,9 @@ class Estimator:
             refined = self.kf_pose_log.get(kf_fid)
             if refined is not None:
                 kr, kp = refined
+                sc = self.kf_scale_log.get(kf_fid, 1.0)
                 rs[i] = kr @ rel_r
-                ps[i] = kp + kr @ rel_p
+                ps[i] = kp + kr @ (rel_p * sc)
         # Keyframes: their refined pose directly (rel would be identity).
         for fid, (r, p) in self.kf_pose_log.items():
             if 0 <= fid < len(ts):

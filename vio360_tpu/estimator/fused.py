@@ -674,11 +674,12 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
     cap_kf = cfg.imu.max_samples_per_keyframe
     max_kf = cfg.window.max_keyframes
     rec_len = kf_record_len(max_kf)
+    loop_on = cfg.loop.enabled
 
     def mega(track, win, preints, kf_rows, kf_count, n_pairs,
-             refine_count, prev_buf, frame_buf, key, r_cur, t_cur,
-             r_prev, t_prev, vel_cur, bg, ba, gravity_w, t_bc, r_bc,
-             r_cb, t_cb):
+             refine_count, loop_db, loop_seq, prev_buf, frame_buf, key,
+             r_cur, t_cur, r_prev, t_prev, vel_cur, bg, ba, gravity_w,
+             t_bc, r_bc, r_cb, t_cb):
         fb = unpack_frame_buf(frame_buf, cfg)
         (track2, key2, r_new, t_new, v_new, bundle) = tracking_step(
             track, win, prev_buf, frame_buf, key, r_cur, t_cur, r_prev,
@@ -711,7 +712,7 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
         )
 
         def kf_branch(op):
-            track_i, win_i, preints_i, bg_i, ba_i = op
+            track_i, win_i, preints_i, bg_i, ba_i, db_i, dbseq_i = op
             # ring -> oldest-first rows (keep the NEWEST cap_kf rows,
             # matching the staged path's rows[-cap:])
             start = jnp.maximum(kf_count - cap_kf, 0)
@@ -726,29 +727,50 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
                 mask, r_new, t_new, v_new, bg_i, ba_i, gravity_w, t_bc,
                 r_cb, t_cb,
             )
+            if loop_on:
+                # in-graph place-database ingest (loop/closure.py): the
+                # NEW keyframe's descriptor, coarse patches and landmark
+                # join enter the ring at slot seq % cap — no separate
+                # per-keyframe dispatch (one relay op saved per KF)
+                from ..loop import closure as loop_mod
+
+                desc_e, patch_e, lmp_e, lmo_e = loop_mod._describe_and_join(
+                    fb["img"],
+                    track_o.uv,
+                    jnp.where(track_o.valid, track_o.ids, -1),
+                    track_o.valid, win_o, cfg,
+                )
+                db_i = loop_mod._ingest(
+                    db_i, jnp.mod(dbseq_i, db_i.capacity), desc_e,
+                    patch_e, track_o.uv, lmp_e, lmo_e, r_o, t_o,
+                )
+                dbseq_i = dbseq_i + 1
             return (
                 track_o, win_o, preints_o, bg_o, ba_o, r_o, t_o, v_o,
                 jnp.asarray(0, jnp.int32),  # kf_rows count resets
                 pairs_after,
                 refine_count + (rec[6] > 0.5).astype(jnp.int32),
+                db_i, dbseq_i,
                 rec,
             )
 
         def no_kf(op):
-            track_i, win_i, preints_i, bg_i, ba_i = op
+            track_i, win_i, preints_i, bg_i, ba_i, db_i, dbseq_i = op
             return (
                 track_i, win_i, preints_i, bg_i, ba_i, r_new, t_new,
-                v_new, kf_count, n_pairs, refine_count,
+                v_new, kf_count, n_pairs, refine_count, db_i, dbseq_i,
                 jnp.zeros(rec_len),
             )
 
         (track3, win3, preints3, bg3, ba3, r3, t3, v3, kf_count2,
-         n_pairs2, refine2, kfrec) = jax.lax.cond(
-            is_kf, kf_branch, no_kf, (track2, win, preints, bg, ba)
+         n_pairs2, refine2, loop_db2, loop_seq2, kfrec) = jax.lax.cond(
+            is_kf, kf_branch, no_kf,
+            (track2, win, preints, bg, ba, loop_db, loop_seq),
         )
         record = jnp.concatenate([bundle, kfrec])
         return (track3, win3, preints3, kf_rows, kf_count2, n_pairs2,
-                refine2, key2, r3, t3, v3, bg3, ba3, record)
+                refine2, loop_db2, loop_seq2, key2, r3, t3, v3, bg3,
+                ba3, record)
 
     fn = _pjit(mega)
     _KF_STEP_CACHE[cache_key] = fn

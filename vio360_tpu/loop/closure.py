@@ -173,6 +173,35 @@ def make_loop_step(cfg: VioConfig):
     return make(False), make(True)
 
 
+def make_detect_step(cfg: VioConfig):
+    """Detect-only program (megastep mode: ingest already happened
+    IN-GRAPH inside fused.make_mega_step's keyframe branch): retrieve +
+    match + verify against the device database. Returns (full-SE3,
+    yaw-only) jitted variants of ``fn(db, image, uv, ids, valid, r_kf,
+    t_kf, r_cb, t_cb, qmask) -> record``."""
+
+    def make(yaw_only: bool):
+        def step(db, image, uv, ids, valid, r_kf, t_kf, r_cb, t_cb,
+                 qmask):
+            lcfg = cfg.loop
+            desc = desc_mod.ring_descriptor(
+                image, lcfg.desc_bands, lcfg.desc_bins
+            )
+            patches = desc_mod.extract_patches(
+                image, uv, valid, lcfg.patch_size, lcfg.patch_pyr_levels
+            )
+            record, _, _, _ = _retrieve_and_verify_cam(
+                db, desc, patches, uv, valid, qmask,
+                jnp.asarray(False), r_kf, t_kf, r_cb, t_cb, cfg,
+                yaw_only=yaw_only,
+            )
+            return record
+
+        return _pjit(step)
+
+    return make(False), make(True)
+
+
 def make_ingest_step(cfg: VioConfig):
     """Ingest-only variant (database not yet queryable): ONE async
     dispatch, nothing fetched."""
@@ -386,6 +415,7 @@ class LoopCloser:
         self._last_correction_seq = -(10**9)
         self._ingest = make_ingest_step(cfg)
         self._step_full, self._step_yaw = make_loop_step(cfg)
+        self._detect_full, self._detect_yaw = make_detect_step(cfg)
         self._reloc = make_reloc_step(cfg)
 
     # -- bookkeeping -----------------------------------------------------
@@ -405,6 +435,35 @@ class LoopCloser:
 
     def queryable(self) -> bool:
         return bool(self._query_mask(self.cfg.loop.exclude_recent_kf).any())
+
+    # -- megastep mode: ingest happened in-graph ------------------------
+    def note_ingested(self, fid: int) -> None:
+        """Mirror an IN-GRAPH ingest (fused.make_mega_step keyframe
+        branch): the device wrote slot seq % cap; record its identity."""
+        w = self._write_idx()
+        self.entry_fid[w] = fid
+        self.entry_seq[w] = self.seq
+        self.seq += 1
+
+    def detect(self, image, uv, ids, valid, r_kf, t_kf, r_cb, t_cb,
+               fid: int, yaw_only: bool, extra_mask_slots=()):
+        """Query-only loop detection against the (estimator-owned,
+        in-graph-maintained) database. ``extra_mask_slots`` masks ring
+        slots possibly dirtied by in-flight (pipelined, not yet
+        resolved) keyframes whose identities the host does not know
+        yet."""
+        lcfg = self.cfg.loop
+        if not self.queryable():
+            return None
+        qm = self._query_mask(lcfg.exclude_recent_kf)
+        for s in extra_mask_slots:
+            qm[int(s) % self.cfg.loop.db_capacity] = False
+        step = self._detect_yaw if yaw_only else self._detect_full
+        rec_dev = step(
+            self.db, image, uv, ids, valid, r_kf, t_kf, r_cb, t_cb,
+            jnp.asarray(qm),
+        )
+        return self._gate(unpack_record(rec_dev), fid)
 
     # -- keyframe-time detection ----------------------------------------
     def on_keyframe(

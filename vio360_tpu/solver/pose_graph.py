@@ -202,3 +202,167 @@ def optimize_pose_graph(
         r_wb, t_wb, ei, ej, rel_r, rel_t, w_sqrt, edge_valid, fixed_pose,
         max_iterations=max_iterations, axis=None,
     )
+
+
+# ----------------------------------------------------------------------
+# Sim(3) pose graph — scale-drift-aware loop closure for monocular VO.
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Sim3GraphResult:
+    r_wb: jax.Array  # [P,3,3]
+    t_wb: jax.Array  # [P,3]
+    log_s: jax.Array  # [P] per-node log scale
+    final_cost: jax.Array
+    initial_cost: jax.Array
+    num_iterations: jax.Array
+
+
+def sim3_edge_residual(r_i, t_i, ls_i, r_j, t_j, ls_j, rel_r, rel_t):
+    """[7] residual of the Sim(3) relative (Strasdat RSS'10 form):
+
+      e_R = log( R_m^T R_i^T R_j )
+      e_t = s_i^{-1} R_i^T (t_j - t_i) - t_m
+      e_s = log s_j - log s_i
+
+    Monocular odometry measures t_m in ITS OWN local scale, so a
+    drifting per-node scale s_i keeps e_t consistent — scale drift
+    becomes an explicit state the loop edges can observe and remove,
+    which an SE(3) graph structurally cannot (measured: 3-lap VO with
+    per-lap map scale 6.54 -> 7.84; SE(3) graph recovered 3% of ATE,
+    Sim(3) is the standard fix). Edge measurements carry implicit
+    s_m = 1: loops tie the revisit's scale to the mapped-first-visit
+    scale through e_t and e_s.
+    """
+    e_r = lie.so3_log(rel_r.T @ (r_i.T @ r_j))
+    e_t = jnp.exp(-ls_i) * (r_i.T @ (t_j - t_i)) - rel_t
+    e_s = (ls_j - ls_i)[None]
+    return jnp.concatenate([e_t, e_r, e_s])
+
+
+def _sim3_residual_jac(r_i, t_i, ls_i, r_j, t_j, ls_j, rel_r, rel_t):
+    def f(xi):
+        d_ri, d_ti = lie.se3_exp(xi[:6])
+        d_rj, d_tj = lie.se3_exp(xi[7:13])
+        ri, ti = lie.se3_compose(r_i, t_i, d_ri, d_ti)
+        rj, tj = lie.se3_compose(r_j, t_j, d_rj, d_tj)
+        return sim3_edge_residual(
+            ri, ti, ls_i + xi[6], rj, tj, ls_j + xi[13], rel_r, rel_t
+        )
+
+    res = f(jnp.zeros(14))
+    jac = jax.jacfwd(f)(jnp.zeros(14))  # [7, 14]
+    return res, jac[:, :7], jac[:, 7:]
+
+
+def _sim3_cost(r, t, ls, ei, ej, rel_r, rel_t, w_sqrt, edge_valid):
+    res = jax.vmap(
+        lambda i, j, rr, rt: sim3_edge_residual(
+            r[i], t[i], ls[i], r[j], t[j], ls[j], rr, rt
+        )
+    )(ei, ej, rel_r, rel_t)
+    wres = res * w_sqrt
+    return 0.5 * jnp.sum(jnp.where(edge_valid[:, None], wres * wres, 0.0))
+
+
+@functools.partial(_pjit, static_argnames=("max_iterations",))
+def optimize_pose_graph_sim3(
+    r_wb,  # [P,3,3]
+    t_wb,  # [P,3]
+    ei,  # [C] i32
+    ej,  # [C] i32
+    rel_r,  # [C,3,3]
+    rel_t,  # [C,3]
+    w_sqrt,  # [C,7] diagonal sqrt-info (rho, phi, sigma)
+    edge_valid,  # [C] bool
+    fixed_pose,  # [P] bool
+    max_iterations: int = 50,
+) -> Sim3GraphResult:
+    """LM over the Sim(3) graph; same dense-H/scatter structure as the
+    SE(3) solve with a 7-dim per-node block."""
+    p = r_wb.shape[0]
+    d = 7
+    ei = jnp.clip(ei, 0, p - 1)
+    ej = jnp.clip(ej, 0, p - 1)
+    w_eff = jnp.where(edge_valid[:, None], w_sqrt, 0.0)
+    ls0 = jnp.zeros((p,), jnp.float32)
+
+    init_cost = _sim3_cost(r_wb, t_wb, ls0, ei, ej, rel_r, rel_t, w_eff, edge_valid)
+
+    def assemble(h, b, idx, blk_h, blk_b):
+        rows = d * idx[:, None] + jnp.arange(d)[None, :]
+        h = h.at[rows[:, :, None], rows[:, None, :]].add(blk_h)
+        b = b.at[rows].add(blk_b)
+        return h, b
+
+    def assemble_off(h, idx_r, idx_c, blk):
+        rows = d * idx_r[:, None] + jnp.arange(d)[None, :]
+        cols = d * idx_c[:, None] + jnp.arange(d)[None, :]
+        return h.at[rows[:, :, None], cols[:, None, :]].add(blk)
+
+    def lm_cond(carry):
+        *_, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def lm_body(carry):
+        r, t, ls, lam, cost, it, done = carry
+        res, j_i, j_j = jax.vmap(
+            lambda i, j, rr, rt: _sim3_residual_jac(
+                r[i], t[i], ls[i], r[j], t[j], ls[j], rr, rt
+            )
+        )(ei, ej, rel_r, rel_t)
+        j_i = j_i * w_eff[:, :, None]
+        j_j = j_j * w_eff[:, :, None]
+        wres = res * w_eff
+
+        h = jnp.zeros((d * p, d * p), jnp.float32)
+        b = jnp.zeros((d * p,), jnp.float32)
+        h, b = assemble(h, b, ei, jnp.einsum("cri,crj->cij", j_i, j_i),
+                        -jnp.einsum("cri,cr->ci", j_i, wres))
+        h, b = assemble(h, b, ej, jnp.einsum("cri,crj->cij", j_j, j_j),
+                        -jnp.einsum("cri,cr->ci", j_j, wres))
+        hij = jnp.einsum("cri,crj->cij", j_i, j_j)
+        h = assemble_off(h, ei, ej, hij)
+        h = assemble_off(h, ej, ei, hij.transpose(0, 2, 1))
+
+        free = jnp.repeat(~fixed_pose, d).astype(h.dtype)
+        diag = jnp.diagonal(h)
+        h = h + jnp.diag(lam * jnp.maximum(diag, 1e-6))
+        h = h * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        b = b * free
+
+        dx = linsolve.solve(h, b).reshape(p, d)
+        dx = jnp.where(fixed_pose[:, None], 0.0, dx)
+
+        dr_dt = jax.vmap(lie.se3_exp)(dx[:, :6])
+        r_new, t_new = jax.vmap(lie.se3_compose)(r, t, dr_dt[0], dr_dt[1])
+        ls_new = ls + dx[:, 6]
+        new_cost = _sim3_cost(r_new, t_new, ls_new, ei, ej, rel_r, rel_t,
+                              w_eff, edge_valid)
+        accept = new_cost < cost
+        r = jnp.where(accept, r_new, r)
+        t = jnp.where(accept, t_new, t)
+        ls = jnp.where(accept, ls_new, ls)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        step_small = jnp.sum(dx * dx) < 1e-14
+        rel_drop = (cost - new_cost) < 1e-7 * cost
+        done = accept & (step_small | rel_drop)
+        cost = jnp.where(accept, new_cost, cost)
+        return (r, t, ls, lam, cost, it + 1, done)
+
+    lam0 = jnp.asarray(1e-4, jnp.float32) + 0.0 * init_cost
+    done0 = init_cost < 0.0
+    r_f, t_f, ls_f, _, final_cost, iters, _ = jax.lax.while_loop(
+        lm_cond, lm_body,
+        (r_wb, t_wb, ls0, lam0, init_cost, jnp.asarray(0, jnp.int32), done0),
+    )
+    return Sim3GraphResult(
+        r_wb=jax.vmap(lie.so3_renormalize)(r_f),
+        t_wb=t_f,
+        log_s=ls_f,
+        final_cost=final_cost,
+        initial_cost=init_cost,
+        num_iterations=iters,
+    )
