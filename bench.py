@@ -264,7 +264,7 @@ def bench_pipeline_fps():
     import time
 
     root = os.path.dirname(os.path.abspath(__file__))
-    seq = "/tmp/bench_seq_prod60"
+    seq = "/tmp/bench_seq_prod120"
     env = {
         **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
         "JAX_PLATFORMS": "cpu",
@@ -272,7 +272,7 @@ def bench_pipeline_fps():
     if not os.path.isfile(os.path.join(seq, "groundtruth.tum")):
         subprocess.run(
             [sys.executable, os.path.join(root, "tools", "make_synthetic_dataset.py"),
-             seq, "--frames", "60", "--width", "960", "--height", "480",
+             seq, "--frames", "120", "--width", "960", "--height", "480",
              "--texture", "--pixel-noise", "0.02"],
             env=env, check=True, capture_output=True,
         )

@@ -284,6 +284,13 @@ class SolverConfig:
     # semantics; the staged and two-dispatch paths remain for
     # transitions and as the equality oracle (tests/test_megastep.py).
     megastep: bool = True
+    # Batched record fetch: the megastep writes each frame's combined
+    # record into a K-slot device ring and the host fetches it once
+    # every K frames — (2 + 1/K) relay ops per frame instead of 3.
+    # Results still arrive strictly in order, up to K frames late
+    # (keyframes are decided and applied IN-GRAPH, so nothing
+    # latency-critical waits on the fetch). 1 = fetch every frame.
+    fetch_every: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

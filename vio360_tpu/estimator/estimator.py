@@ -251,8 +251,8 @@ class Estimator:
         # per IMU mode
         self._kf_step_fn = None
         self._kf_step_use_imu: bool | None = None
-        # in-flight pipelined frame (process_frame_async)
-        self._pending: dict | None = None
+        # in-flight pipelined frames, oldest first (process_frame_async)
+        self._pending_q: list[dict] = []
 
         # ---- loop closure + relocalization (loop/closure.py) ----
         # New capability vs the reference (no reloc/loop path at all,
@@ -281,6 +281,13 @@ class Estimator:
         self.kf_count_dev = jnp.asarray(0, jnp.int32)
         self.n_pairs_dev = jnp.asarray(0, jnp.int32)
         self.refine_count_dev = jnp.asarray(0, jnp.int32)
+        # batched-fetch record ring (fused.make_mega_step writes each
+        # frame's combined record at slot fid % K; ONE host fetch
+        # resolves K frames — cfg.solver.fetch_every)
+        self.rec_ring_dev = jnp.zeros((
+            max(cfg.solver.fetch_every, 1),
+            20 + fused.kf_record_len(cfg.window.max_keyframes),
+        ))
         # loop place-database: estimator-owned device state (threaded
         # through the megastep for in-graph ingest); a 1-slot dummy
         # when loop closure is disabled (the mega signature is fixed)
@@ -613,7 +620,7 @@ class Estimator:
                 jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei),
                 jnp.asarray(ej), jnp.asarray(rel_r), jnp.asarray(rel_t),
                 jnp.asarray(w7), jnp.asarray(ev), jnp.asarray(fixed),
-                max_iterations=3 * pcfg.max_iterations,
+                max_iterations=pcfg.max_iterations,
             )
             r_out, t_out, ls_out = hostsync.fetch_tree(
                 (res.r_wb, res.t_wb, res.log_s)
@@ -716,10 +723,9 @@ class Estimator:
     def process_frame(
         self, image, timestamp: float, imu: np.ndarray | None = None
     ) -> FrameResult:
-        if self._pending is not None:
+        if self._pending_q:
             # mixing the sync and pipelined APIs: drain the in-flight
-            # frame first so state evolution stays sequential (its
-            # FrameResult was already surfaced by nobody — callers
+            # frames first so state evolution stays sequential (callers
             # should stick to one API; this keeps state correct anyway)
             self.flush()
         self.frame_id += 1
@@ -1129,8 +1135,8 @@ class Estimator:
         with the pipelined path (process_frame_async), resolving
         immediately instead of one frame later."""
         cur = self._dispatch_tracking(image_np, timestamp, self.last_imu_rows)
-        cur["post_state"] = self._pipe_snapshot()
-        return self._resolve_pending(cur, None)
+        self._pending_q.append(cur)
+        return self._resolve_queue()[0]
 
     # ------------------------------------------------------------------
     # Software-pipelined frame loop (VERDICT r4 item 1).
@@ -1155,7 +1161,7 @@ class Estimator:
         "track", "win", "preints", "key", "img_prev",
         "r_cur", "t_cur", "r_prev", "t_prev", "vel_cur", "bg", "ba",
         "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
-        "loop_db_dev", "loop_seq_dev",
+        "loop_db_dev", "loop_seq_dev", "rec_ring_dev",
     )
 
     def process_frame_async(self, image, timestamp, imu=None) -> list:
@@ -1173,11 +1179,10 @@ class Estimator:
             if imu is not None and len(imu)
             else np.zeros((0, 7))
         )
-        prev = self._pending
-        if prev is not None:
-            # state as of frame N's dispatch — the rewind point if N
-            # becomes a keyframe (captured BEFORE N+1's bookkeeping)
-            prev["post_state"] = self._pipe_snapshot()
+        if self._pending_q:
+            # state as of the previous dispatch — the rewind point if
+            # that frame turns out to need a host-applied state change
+            self._pending_q[-1]["post_state"] = self._pipe_snapshot()
         if len(imu_rows):
             self.imu_since_last_kf.append(imu_rows)
             self.has_imu_stream = True
@@ -1187,20 +1192,48 @@ class Estimator:
         cur = self._dispatch_tracking(
             np.asarray(image, np.float32), timestamp, imu_rows
         )
-        out = []
-        if prev is not None:
-            out.append(self._resolve_pending(prev, cur))
-        self._pending = cur
-        return out
+        self._pending_q.append(cur)
+        # Resolve when the record ring is full (ONE fetch covers the
+        # whole queue) or when a frame took a non-mega path (its
+        # resolution may apply host-side keyframe/transition logic).
+        k = max(self.cfg.solver.fetch_every, 1)
+        if not cur.get("mega") or len(self._pending_q) >= k:
+            return self._resolve_queue()
+        return []
 
     def flush(self) -> list:
-        """Resolve the in-flight pipelined frame, if any."""
-        prev = self._pending
-        if prev is None:
+        """Resolve every in-flight pipelined frame."""
+        return self._resolve_queue()
+
+    def _resolve_queue(self) -> list:
+        """Resolve the pending queue oldest-first. Mega entries share
+        ONE record-ring fetch; an entry that applies a host-side state
+        change (staged keyframe, loop correction, relocalization)
+        rewinds and re-dispatches every LATER entry, whose (now stale)
+        records then wait for the next fetch."""
+        q = self._pending_q
+        if not q:
             return []
-        prev.setdefault("post_state", self._pipe_snapshot())
-        self._pending = None
-        return [self._resolve_pending(prev, None)]
+        q[-1].setdefault("post_state", self._pipe_snapshot())
+        ring_host = None
+        results = []
+        while q:
+            prev = q[0]
+            rest = q[1:]
+            if prev.get("mega") and "record_host" not in prev:
+                if ring_host is None:
+                    with self._stage("tracking_step"):
+                        ring_host = np.asarray(self.rec_ring_dev)
+                k = ring_host.shape[0]
+                prev["record_host"] = ring_host[prev["fid"] % k]
+            results.append(self._resolve_pending(prev, rest))
+            q.pop(0)
+            if rest and rest[0].pop("redispatched", False):
+                # later entries were re-run from a corrected state;
+                # their ring records are stale — resolve them at the
+                # next fetch
+                break
+        return results
 
     def _pipe_snapshot(self) -> dict:
         snap = {k: getattr(self, k) for k in self._PIPE_SNAP}
@@ -1294,17 +1327,17 @@ class Estimator:
                 self._mega_use_imu = use_imu
             (self.track, self.win, self.preints, self.kf_rows_dev,
              self.kf_count_dev, self.n_pairs_dev, self.refine_count_dev,
-             self.loop_db_dev, self.loop_seq_dev,
-             self.key, r_new, t_new, v_new, self.bg, self.ba,
-             record) = self._mega_fn(
+             self.loop_db_dev, self.loop_seq_dev, self.rec_ring_dev,
+             self.key, r_new, t_new, v_new, self.bg,
+             self.ba) = self._mega_fn(
                 self.track, self.win, self.preints, self.kf_rows_dev,
                 self.kf_count_dev, self.n_pairs_dev,
                 self.refine_count_dev, self.loop_db_dev,
-                self.loop_seq_dev, self.img_prev, cur["buf"],
-                self.key, self.r_cur, self.t_cur, self.r_prev,
-                self.t_prev, self.vel_cur, self.bg, self.ba,
-                self.gravity_w, self.t_bc, self.r_bc, self.r_cb,
-                self.t_cb,
+                self.loop_seq_dev, self.rec_ring_dev, self.img_prev,
+                cur["buf"], self.key, self.r_cur, self.t_cur,
+                self.r_prev, self.t_prev, self.vel_cur, self.bg,
+                self.ba, self.gravity_w, self.t_bc, self.r_bc,
+                self.r_cb, self.t_cb,
             )
             if self.loop_closer is not None:
                 self.loop_closer.db = self.loop_db_dev
@@ -1312,7 +1345,6 @@ class Estimator:
             self.r_prev, self.t_prev = self.r_cur, self.t_cur
             self.r_cur, self.t_cur = r_new, t_new
             self.vel_cur = v_new
-            cur["bundle"] = record
             cur["mega"] = True
             cur["use_imu"] = use_imu
             return
@@ -1331,12 +1363,34 @@ class Estimator:
         self.vel_cur = v_new
         cur["bundle"] = bundle
 
-    def _resolve_pending(self, prev: dict, cur: dict | None) -> FrameResult:
+    def _redispatch(self, rest) -> None:
+        """Re-run every later in-flight frame from the (changed)
+        current state, in order, re-stamping their rewind points and
+        IMU-mirror watermarks; marks them so _resolve_queue defers
+        their (stale) records to the next fetch."""
+        if not rest:
+            return
+        entries = rest if isinstance(rest, list) else [rest]
+        for j, entry in enumerate(entries):
+            if len(entry["imu_rows"]):
+                self.imu_since_last_kf.append(entry["imu_rows"])
+            entry["imu_mirror_end"] = len(self.imu_since_last_kf)
+            self.last_imu_rows = entry["imu_rows"]
+            self._dispatch_from_buf(entry)
+            entry.pop("record_host", None)
+            if j + 1 < len(entries):
+                entry["post_state"] = self._pipe_snapshot()
+        entries[0]["redispatched"] = True
+
+    def _resolve_pending(self, prev: dict, cur) -> FrameResult:
         """Fetch frame N's bundle; on a keyframe, rewind to the post-N
         state, run the keyframe event, and re-dispatch frame N+1."""
         mega = prev.get("mega", False)
-        with self._stage("tracking_step"):
-            full = np.asarray(prev["bundle"])
+        if "record_host" in prev:
+            full = prev["record_host"]
+        else:
+            with self._stage("tracking_step"):
+                full = np.asarray(prev["bundle"])
         b = fused.unpack_bundle(full[:20] if mega else full)
         fid, ts = prev["fid"], prev["ts"]
         pnp_ok, is_kf = b["success"], b["is_kf"]
@@ -1370,14 +1424,10 @@ class Estimator:
                 self.frame_id = outer_fid
             self.lost_streak = 0
             self._record(ts, r_np, t_np)
-            if cur is not None:
-                # sequential semantics: N+1's IMU rows re-enter the
-                # accumulator that the keyframe event just consumed,
-                # then N+1 re-runs from the refined post-KF state.
-                if len(cur["imu_rows"]):
-                    self.imu_since_last_kf.append(cur["imu_rows"])
-                self.last_imu_rows = cur["imu_rows"]
-                self._dispatch_from_buf(cur)
+            # sequential semantics: later frames' IMU rows re-enter the
+            # accumulator the keyframe event just consumed, and each
+            # later frame re-runs from the refined post-KF state.
+            self._redispatch(cur)
         else:
             if pnp_ok:
                 self.lost_streak = 0
@@ -1397,11 +1447,7 @@ class Estimator:
                         r_np, t_np = got
                         state = "relocalized"
                         self.lost_streak = 0
-                    if cur is not None:
-                        if len(cur["imu_rows"]):
-                            self.imu_since_last_kf.append(cur["imu_rows"])
-                        self.last_imu_rows = cur["imu_rows"]
-                        self._dispatch_from_buf(cur)
+                    self._redispatch(cur)
             self._record(ts, r_np, t_np)
         return FrameResult(
             frame_id=fid,
@@ -1797,15 +1843,20 @@ class Estimator:
         track = ps["track"]
         ids = jnp.where(track.valid, track.ids, -1)
         # the ingest already happened IN-GRAPH (make_mega_step keyframe
-        # branch); only the query runs here. The NEXT ring slot may
-        # have been dirtied by an in-flight (speculatively dispatched,
-        # unresolved) keyframe whose identity the host does not know
-        # yet — mask it.
+        # branch); only the query runs here. Up to fetch_every-1 LATER
+        # frames are in flight (speculatively dispatched, unresolved)
+        # and any of them may have been keyframes that already wrote
+        # the next ring slots on device — the host does not know their
+        # identities yet, so mask the whole in-flight slot range
+        # (measured failure: a future frame's entry attributed to the
+        # stale fid at its slot produced a loop edge between unrelated
+        # frames — initial graph cost 5e7).
+        k_inflight = max(self.cfg.solver.fetch_every, 1)
         hit = lc.detect(
             prev["buf"][:h], track.uv, ids, track.valid,
             ps["r_cur"], ps["t_cur"], self.r_cb, self.t_cb,
             prev["fid"], yaw_only=self.imu_initialized,
-            extra_mask_slots=(lc.seq,),
+            extra_mask_slots=range(lc.seq, lc.seq + k_inflight),
         )
         if hit is None:
             return r_np, t_np
@@ -1851,11 +1902,7 @@ class Estimator:
             prev["fid"], hit["old_fid"], hit["n_match"],
             hit["n_inliers"], hit["score"], float(np.linalg.norm(tc)),
         )
-        if cur is not None:
-            if len(cur["imu_rows"]):
-                self.imu_since_last_kf.append(cur["imu_rows"])
-            self.last_imu_rows = cur["imu_rows"]
-            self._dispatch_from_buf(cur)
+        self._redispatch(cur)
         return rc @ r_np, rc @ t_np + tc
 
     def _try_relocalize(self, diag):
@@ -1975,7 +2022,7 @@ class Estimator:
         "track", "win", "img_prev", "key", "r_cur", "t_cur", "r_prev", "t_prev",
         "vel_cur", "bg", "ba", "gravity_w", "snapshots", "preints",
         "kf_rows_dev", "kf_count_dev", "n_pairs_dev", "refine_count_dev",
-        "loop_db_dev", "loop_seq_dev",
+        "loop_db_dev", "loop_seq_dev", "rec_ring_dev",
     )
 
     def capture_state(self) -> dict:

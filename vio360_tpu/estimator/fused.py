@@ -675,11 +675,12 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
     max_kf = cfg.window.max_keyframes
     rec_len = kf_record_len(max_kf)
     loop_on = cfg.loop.enabled
+    fetch_k = max(cfg.solver.fetch_every, 1)
 
     def mega(track, win, preints, kf_rows, kf_count, n_pairs,
-             refine_count, loop_db, loop_seq, prev_buf, frame_buf, key,
-             r_cur, t_cur, r_prev, t_prev, vel_cur, bg, ba, gravity_w,
-             t_bc, r_bc, r_cb, t_cb):
+             refine_count, loop_db, loop_seq, rec_ring, prev_buf,
+             frame_buf, key, r_cur, t_cur, r_prev, t_prev, vel_cur, bg,
+             ba, gravity_w, t_bc, r_bc, r_cb, t_cb):
         fb = unpack_frame_buf(frame_buf, cfg)
         (track2, key2, r_new, t_new, v_new, bundle) = tracking_step(
             track, win, prev_buf, frame_buf, key, r_cur, t_cur, r_prev,
@@ -768,9 +769,12 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
             (track2, win, preints, bg, ba, loop_db, loop_seq),
         )
         record = jnp.concatenate([bundle, kfrec])
+        # batched-fetch ring: the host reads K frames' records in ONE
+        # transfer (cfg.solver.fetch_every); slot = frame id mod K
+        rec_ring = rec_ring.at[jnp.mod(fb["frame_id"], fetch_k)].set(record)
         return (track3, win3, preints3, kf_rows, kf_count2, n_pairs2,
-                refine2, loop_db2, loop_seq2, key2, r3, t3, v3, bg3,
-                ba3, record)
+                refine2, loop_db2, loop_seq2, rec_ring, key2, r3, t3,
+                v3, bg3, ba3)
 
     fn = _pjit(mega)
     _KF_STEP_CACHE[cache_key] = fn
