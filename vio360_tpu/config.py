@@ -217,9 +217,13 @@ class LoopConfig:
     min_score: float = 0.20
     reloc_min_score: float = 0.15  # reloc searches the whole database
     verify_top_k: int = 4  # candidates patch-matched + PnP-verified
-    # candidates younger than this many keyframes are the sliding
-    # window's own recent past, not loops
-    exclude_recent_kf: int = 20
+    # Candidates younger than this many keyframes are the sliding
+    # window's own recent past, not loops. Also an accuracy guard:
+    # short-range closures add nothing the covariance-weighted local
+    # odometry doesn't already know, and their ~1 cm verification noise
+    # measurably pollutes drift-free VIO runs (vio_hard se3
+    # 0.021 -> 0.028 at 20); true revisits sit 40+ keyframes out.
+    exclude_recent_kf: int = 30
     match_min_ncc: float = 0.60
     match_min_margin: float = 0.02
     min_matches: int = 20

@@ -634,6 +634,17 @@ class Estimator:
                     # relative anchors captured at the LOCAL scale
                     self.kf_scale_log[f] = float(np.exp(ls_out[i]))
             return res
+        if have_loops:
+            # SE(3)/VIO graph: the config loop weights are tuned for the
+            # monocular Sim(3) solve (where correlated-odometry floors
+            # rebalance them); against full-strength covariance-weighted
+            # VIO odometry they over-pull on drift-free runs (measured:
+            # vio_hard se3 0.021 -> 0.028) — cap to their single-edge
+            # measured accuracy (~1 cm / 0.4 deg).
+            for k, e in enumerate(edges):
+                if e.kind == "loop":
+                    w[k, :3] = np.minimum(w[k, :3], 100.0)
+                    w[k, 3:6] = np.minimum(w[k, 3:6], 150.0)
         res = pg_mod.optimize_pose_graph(
             jnp.asarray(rs), jnp.asarray(ts_), jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(rel_r), jnp.asarray(rel_t), jnp.asarray(w),
