@@ -107,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
         "shards the landmark axis over 8 devices (distributed VIO; "
         "requires that many JAX devices)",
     )
+    p.add_argument(
+        "--frames-per-dispatch", type=int, default=None, metavar="K",
+        help="dispatch K steady-state frames as ONE scanned program "
+        "over ONE stacked upload (throughput mode for dispatch-latency "
+        "links; adds up to K-1 frames of result latency). Default 1",
+    )
+    p.add_argument(
+        "--image-transport", default=None, choices=["f32", "u8", "u16"],
+        help="wire dtype of the per-frame image upload (default: "
+        "config; u8 = the reference's own 8-bit camera precision)",
+    )
     args = p.parse_args(argv)
 
     if not os.path.isdir(args.dataset_dir):
@@ -152,6 +163,16 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.mesh:
         cfg = _dc.replace(cfg, solver=_dc.replace(cfg.solver, mesh=args.mesh))
+    if args.frames_per_dispatch:
+        cfg = _dc.replace(cfg, solver=_dc.replace(
+            cfg.solver, frames_per_dispatch=args.frames_per_dispatch,
+            fetch_every=max(cfg.solver.fetch_every,
+                            args.frames_per_dispatch),
+        ))
+    if args.image_transport:
+        cfg = _dc.replace(cfg, solver=_dc.replace(
+            cfg.solver, image_transport=args.image_transport
+        ))
     if args.no_pose_graph:
         cfg = _dc.replace(
             cfg, pose_graph=_dc.replace(cfg.pose_graph, enabled=False)

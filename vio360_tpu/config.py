@@ -295,6 +295,18 @@ class SolverConfig:
     # (keyframes are decided and applied IN-GRAPH, so nothing
     # latency-critical waits on the fetch). 1 = fetch every frame.
     fetch_every: int = 4
+    # Wire dtype of the per-frame image upload (fused.pack_frame_input):
+    # "u8" carries the image as uint8 — the reference's own camera input
+    # precision (OpenCV CV_8U mats, app/main.cpp:199-204) — cutting the
+    # 960x480 upload 4x (1.8 MB -> 0.47 MB; the relay moves ~30 MB/s, so
+    # upload bytes are first-order in the frame budget); "u16" quantizes
+    # at 1.5e-5 for float-native synthetic data; "f32" is exact.
+    image_transport: str = "u8"
+    # Dispatch K steady-state frames as ONE scanned program over ONE
+    # stacked upload (fused.make_multi_mega_step): ~3/K relay ops per
+    # frame plus the per-byte cost. Adds up to K-1 frames of result
+    # latency on top of the pipelined resolve; 1 = one dispatch/frame.
+    frames_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -307,6 +307,13 @@ class Estimator:
         self._mega_fn = None
         self._mega_use_imu: bool | None = None
         self._mega_active = False
+        # ---- K-frame scanned dispatch (fused.make_multi_mega_step) ----
+        # staged-but-undispatched frames (host packed buffers) and the
+        # previous frame's host buffer (row 0 of each stacked upload)
+        self._stage_q: list[dict] = []
+        self._last_buf_host = None
+        self._multi_fn = None
+        self._multi_key = None
 
         # ---- pose-graph store (solver/pose_graph.py) ----
         # Evicted keyframes leave BA's reach; SE(3) relative edges keep
@@ -734,7 +741,7 @@ class Estimator:
     def process_frame(
         self, image, timestamp: float, imu: np.ndarray | None = None
     ) -> FrameResult:
-        if self._pending_q:
+        if self._pending_q or self._stage_q:
             # mixing the sync and pipelined APIs: drain the in-flight
             # frames first so state evolution stays sequential (callers
             # should stick to one API; this keeps state correct anyway)
@@ -756,12 +763,16 @@ class Estimator:
         if self.img_prev is None:
             # img_prev is ALWAYS a packed frame buffer (fused.
             # pack_frame_input); the image part is buf[:h].
-            buf = jax.device_put(fused.pack_frame_input(
+            buf_np = fused.pack_frame_input(
                 np.asarray(image, np.float32), timestamp, None,
                 cfg.imu.max_samples_per_frame, cfg.camera.width,
-            ))
+                transport=cfg.solver.image_transport,
+            )
+            buf = jax.device_put(buf_np)
+            self._last_buf_host = buf_np
             self.track = tracker.bootstrap_frame(
-                self.track, buf[:h], jnp.asarray(timestamp), cfg
+                self.track, fused.buf_image(buf, h), jnp.asarray(timestamp),
+                cfg,
             )
             self.img_prev = buf
             self.snapshots = [self._snapshot(timestamp, imu_rows)]
@@ -771,13 +782,17 @@ class Estimator:
         if not self.initialized:
             # Bootstrap frames: bare front-end step (no pose prediction
             # exists yet), host window accumulation + init attempt.
-            buf = jax.device_put(fused.pack_frame_input(
+            buf_np = fused.pack_frame_input(
                 np.asarray(image, np.float32), timestamp, None,
                 cfg.imu.max_samples_per_frame, cfg.camera.width,
-            ))
+                transport=cfg.solver.image_transport,
+            )
+            buf = jax.device_put(buf_np)
+            self._last_buf_host = buf_np
             with self._stage("frontend"):
                 self.track, _, tdiag = tracker.track_frame(
-                    self.track, self.img_prev[:h], buf[:h],
+                    self.track, fused.buf_image(self.img_prev, h),
+                    fused.buf_image(buf, h),
                     jnp.asarray(timestamp), self._next_key(), cfg,
                 )
             self.img_prev = buf
@@ -1200,6 +1215,34 @@ class Estimator:
         self.last_imu_rows = imu_rows
         self.last_timestamp = timestamp
 
+        k_batch = max(self.cfg.solver.frames_per_dispatch, 1)
+        if k_batch > 1 and self._use_mega():
+            # K-frame scanned dispatch: stage the packed host buffer;
+            # ONE stacked upload + ONE scanned program + ONE stacked
+            # record fetch cover the whole batch
+            # (fused.make_multi_mega_step).
+            cfg = self.cfg
+            cur = {
+                "fid": self.frame_id, "ts": timestamp,
+                "buf_host": fused.pack_frame_input(
+                    np.asarray(image, np.float32), timestamp, imu_rows,
+                    cfg.imu.max_samples_per_frame, cfg.camera.width,
+                    frame_id=self.frame_id,
+                    transport=cfg.solver.image_transport,
+                ),
+                "imu_rows": imu_rows,
+                "imu_mirror_end": len(self.imu_since_last_kf),
+            }
+            self._stage_q.append(cur)
+            if len(self._stage_q) >= k_batch:
+                self._dispatch_batch()
+                return self._resolve_queue()
+            return []
+
+        if self._stage_q:
+            # mode changed under a partial batch: dispatch it singly
+            # before this frame so ordering holds
+            self._flush_stage()
         cur = self._dispatch_tracking(
             np.asarray(image, np.float32), timestamp, imu_rows
         )
@@ -1213,8 +1256,80 @@ class Estimator:
         return []
 
     def flush(self) -> list:
-        """Resolve every in-flight pipelined frame."""
+        """Resolve every in-flight (staged or pipelined) frame."""
+        self._flush_stage()
         return self._resolve_queue()
+
+    def _flush_stage(self) -> None:
+        """Dispatch any staged-but-unbatched frames singly (the single
+        megastep program — partial batches would compile one scanned
+        program per distinct length)."""
+        staged, self._stage_q = self._stage_q, []
+        for e in staged:
+            if self._pending_q:
+                self._pending_q[-1].setdefault(
+                    "post_state", self._pipe_snapshot()
+                )
+            self.last_imu_rows = e["imu_rows"]
+            self._dispatch_from_buf(e)
+            self._pending_q.append(e)
+
+    def _dispatch_batch(self) -> None:
+        """Dispatch the staged frames as ONE scanned program over ONE
+        stacked upload (fused.make_multi_mega_step). Row 0 of the stack
+        is the previous frame's buffer, so consecutive batches chain
+        without a device-resident image handle."""
+        staged, self._stage_q = self._stage_q, []
+        if not staged:
+            return
+        cfg = self.cfg
+        use_imu = self.imu_initialized
+        if not self._mega_active:
+            # every staged frame's IMU chunk re-enters from its buffer
+            n_excl = sum(1 for e in staged if len(e["imu_rows"]))
+            self._sync_mega_state(n_excl)
+            self._mega_active = True
+        if self._pending_q:
+            self._pending_q[-1].setdefault(
+                "post_state", self._pipe_snapshot()
+            )
+        snap = self._pipe_snapshot()  # pre-batch rewind point
+        k = len(staged)
+        mkey = (use_imu, k)
+        if self._multi_fn is None or self._multi_key != mkey:
+            self._multi_fn = fused.make_multi_mega_step(
+                cfg, use_imu, k, self._dist_ba_fn, self._dist_viba_fn
+            )
+            self._multi_key = mkey
+        bufs = np.stack(
+            [self._last_buf_host] + [e["buf_host"] for e in staged]
+        )
+        dev = jax.device_put(bufs)
+        (self.track, self.win, self.preints, self.kf_rows_dev,
+         self.kf_count_dev, self.n_pairs_dev, self.refine_count_dev,
+         self.loop_db_dev, self.loop_seq_dev, self.key, self.r_cur,
+         self.t_cur, self.r_prev, self.t_prev, self.vel_cur, self.bg,
+         self.ba, records) = self._multi_fn(
+            self.track, self.win, self.preints, self.kf_rows_dev,
+            self.kf_count_dev, self.n_pairs_dev, self.refine_count_dev,
+            self.loop_db_dev, self.loop_seq_dev, dev, self.key,
+            self.r_cur, self.t_cur, self.r_prev, self.t_prev,
+            self.vel_cur, self.bg, self.ba, self.gravity_w, self.t_bc,
+            self.r_bc, self.r_cb, self.t_cb,
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.db = self.loop_db_dev
+        self.img_prev = staged[-1]["buf_host"]  # np; uploaded on demand
+        self._last_buf_host = staged[-1]["buf_host"]
+        for i, e in enumerate(staged):
+            e["mega"] = True
+            e["batch"] = True
+            e["use_imu"] = use_imu
+            e["batch_records"] = records
+            e["batch_index"] = i
+            e["batch_snap"] = snap
+            e["batch_prefix"] = staged[:i + 1]
+            self._pending_q.append(e)
 
     def _resolve_queue(self) -> list:
         """Resolve the pending queue oldest-first. Mega entries share
@@ -1232,11 +1347,28 @@ class Estimator:
             prev = q[0]
             rest = q[1:]
             if prev.get("mega") and "record_host" not in prev:
-                if ring_host is None:
-                    with self._stage("tracking_step"):
-                        ring_host = np.asarray(self.rec_ring_dev)
-                k = ring_host.shape[0]
-                prev["record_host"] = ring_host[prev["fid"] % k]
+                if "batch_records" in prev:
+                    # ONE stacked fetch resolves the whole batch; the
+                    # qstate tail (loop-query state) is split off here
+                    rh = prev.get("batch_records_host")
+                    if rh is None:
+                        with self._stage("tracking_step"):
+                            rh = np.asarray(prev["batch_records"])
+                        for e in q:
+                            if e.get("batch_records") is prev["batch_records"]:
+                                e["batch_records_host"] = rh
+                    rec_total = 20 + fused.kf_record_len(
+                        self.cfg.window.max_keyframes
+                    )
+                    row = rh[prev["batch_index"]]
+                    prev["record_host"] = row[:rec_total]
+                    prev["qstate_host"] = row[rec_total:]
+                else:
+                    if ring_host is None:
+                        with self._stage("tracking_step"):
+                            ring_host = np.asarray(self.rec_ring_dev)
+                    k = ring_host.shape[0]
+                    prev["record_host"] = ring_host[prev["fid"] % k]
             results.append(self._resolve_pending(prev, rest))
             q.pop(0)
             if rest and rest[0].pop("redispatched", False):
@@ -1260,16 +1392,41 @@ class Estimator:
         if self.loop_closer is not None:
             self.loop_closer.db = self.loop_db_dev
 
+    def _restore_post_state(self, prev: dict) -> None:
+        """Rewind the live state to 'just after frame ``prev`` ran'.
+        Single-dispatch entries stashed that snapshot when their
+        successor dispatched; a batch entry (K-frame scanned dispatch)
+        has no per-frame snapshot — rewind to the pre-batch state and
+        replay the batch's frames up to this one through the
+        single-frame megastep (rare path: accepted loop corrections
+        and relocalization only)."""
+        ps = prev.get("post_state")
+        if ps is not None:
+            self._pipe_restore(ps)
+            return
+        self._pipe_restore(prev["batch_snap"])
+        for e in prev["batch_prefix"]:
+            if len(e["imu_rows"]):
+                self.imu_since_last_kf.append(e["imu_rows"])
+            e["imu_mirror_end"] = len(self.imu_since_last_kf)
+            self.last_imu_rows = e["imu_rows"]
+            self._dispatch_from_buf(e)
+        prev["post_state"] = self._pipe_snapshot()
+
     def _dispatch_tracking(self, image_np, timestamp, imu_rows) -> dict:
         """Upload + dispatch one steady-state frame (no sync)."""
         cfg = self.cfg
-        buf = jax.device_put(fused.pack_frame_input(
+        buf_np = fused.pack_frame_input(
             image_np, timestamp, imu_rows,
             cfg.imu.max_samples_per_frame, cfg.camera.width,
             frame_id=self.frame_id,
-        ))
+            transport=cfg.solver.image_transport,
+        )
+        buf = jax.device_put(buf_np)
+        self._last_buf_host = buf_np
         cur = {
             "fid": self.frame_id, "ts": timestamp, "buf": buf,
+            "buf_host": buf_np,
             "imu_rows": imu_rows,
             # mirror watermark: entries at index >= this were appended
             # AFTER this frame (pipelined successor) — the mega keyframe
@@ -1288,18 +1445,19 @@ class Estimator:
             and self.imu_initialized == self.has_imu_stream
         )
 
-    def _sync_mega_state(self, exclude_last_chunk: bool) -> None:
+    def _sync_mega_state(self, exclude_chunks: int) -> None:
         """Host -> device sync of the keyframe-policy state when
         entering megastep mode (one small upload; happens once per
-        mode transition). ``exclude_last_chunk`` drops the CURRENT
-        frame's just-appended rows: the mega program re-appends them
-        from the frame buffer, and syncing them too would preintegrate
-        the interval twice (measured: 10x VIBA cost on the first mega
-        keyframe)."""
+        mode transition). ``exclude_chunks`` drops the LAST that many
+        just-appended row chunks (the current frame's — or, entering
+        via a batch dispatch, every staged frame's): the mega program
+        re-appends them from the frame buffers, and syncing them too
+        would preintegrate the interval twice (measured: 10x VIBA cost
+        on the first mega keyframe)."""
         cap = self.cfg.imu.max_samples_per_keyframe
         chunks = (
-            self.imu_since_last_kf[:-1]
-            if exclude_last_chunk else self.imu_since_last_kf
+            self.imu_since_last_kf[:-exclude_chunks]
+            if exclude_chunks else self.imu_since_last_kf
         )
         rows = (
             np.concatenate(chunks) if chunks else np.zeros((0, 7))
@@ -1327,9 +1485,15 @@ class Estimator:
         tracking + conditional keyframe as ONE program."""
         cfg = self.cfg
         use_imu = self.imu_initialized
+        if cur.get("buf") is None:
+            # batch-dispatched entry being re-run singly: its image
+            # rode the stacked upload; re-upload from the host buffer
+            cur["buf"] = jax.device_put(cur["buf_host"])
+        if cur.get("buf_host") is not None:
+            self._last_buf_host = cur["buf_host"]
         if self._use_mega():
             if not self._mega_active:
-                self._sync_mega_state(len(cur["imu_rows"]) > 0)
+                self._sync_mega_state(1 if len(cur["imu_rows"]) else 0)
                 self._mega_active = True
             if self._mega_fn is None or self._mega_use_imu != use_imu:
                 self._mega_fn = fused.make_mega_step(
@@ -1389,6 +1553,12 @@ class Estimator:
             self.last_imu_rows = entry["imu_rows"]
             self._dispatch_from_buf(entry)
             entry.pop("record_host", None)
+            # a re-run batch entry is a single-dispatch entry now: its
+            # stacked records are stale — resolve it from the ring
+            for k2 in ("batch", "batch_records", "batch_records_host",
+                       "qstate_host", "batch_snap", "batch_prefix",
+                       "batch_index"):
+                entry.pop(k2, None)
             if j + 1 < len(entries):
                 entry["post_state"] = self._pipe_snapshot()
         entries[0]["redispatched"] = True
@@ -1452,7 +1622,7 @@ class Estimator:
                     # relocalization changes device state -> rewind to
                     # the post-N handles (like the keyframe path) so
                     # the speculative N+1 can re-run afterwards
-                    self._pipe_restore(prev["post_state"])
+                    self._restore_post_state(prev)
                     got = self._try_relocalize(diag)
                     if got is not None:
                         r_np, t_np = got
@@ -1791,7 +1961,8 @@ class Estimator:
         h = self.cfg.camera.height
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         hit = lc.on_keyframe(
-            self.img_prev[:h], self.track.uv, ids, self.track.valid,
+            fused.buf_image(self.img_prev, h),
+            self.track.uv, ids, self.track.valid,
             self.win, self.r_cur, self.t_cur, self.r_cb, self.t_cb,
             self.frame_id, yaw_only=self.imu_initialized,
         )
@@ -1849,10 +2020,25 @@ class Estimator:
         from ..loop import closure as loop_mod
 
         lc = self.loop_closer
-        ps = prev["post_state"]
         h = self.cfg.camera.height
-        track = ps["track"]
-        ids = jnp.where(track.valid, track.ids, -1)
+        ps = prev.get("post_state")
+        if ps is not None:
+            track = ps["track"]
+            uv, valid = track.uv, track.valid
+            ids = jnp.where(track.valid, track.ids, -1)
+            r_q, t_q = ps["r_cur"], ps["t_cur"]
+            img_q = fused.buf_image(
+                prev["buf"] if prev.get("buf") is not None
+                else prev["buf_host"], h,
+            )
+        else:
+            # batch entry: the post-frame query state rode the scanned
+            # record's qstate tail (fused.unpack_mega_qstate) — no
+            # per-frame device snapshot exists
+            qs = fused.unpack_mega_qstate(prev["qstate_host"], self.cfg)
+            uv, ids, valid = qs["uv"], qs["ids"], qs["valid"]
+            r_q, t_q = qs["r"], qs["t"]
+            img_q = fused.buf_image(prev["buf_host"], h)
         # the ingest already happened IN-GRAPH (make_mega_step keyframe
         # branch); only the query runs here. Up to fetch_every-1 LATER
         # frames are in flight (speculatively dispatched, unresolved)
@@ -1862,10 +2048,11 @@ class Estimator:
         # (measured failure: a future frame's entry attributed to the
         # stale fid at its slot produced a loop edge between unrelated
         # frames — initial graph cost 5e7).
-        k_inflight = max(self.cfg.solver.fetch_every, 1)
+        k_inflight = max(self.cfg.solver.fetch_every,
+                         self.cfg.solver.frames_per_dispatch, 1)
         hit = lc.detect(
-            prev["buf"][:h], track.uv, ids, track.valid,
-            ps["r_cur"], ps["t_cur"], self.r_cb, self.t_cb,
+            img_q, uv, ids, valid,
+            r_q, t_q, self.r_cb, self.t_cb,
             prev["fid"], yaw_only=self.imu_initialized,
             extra_mask_slots=range(lc.seq, lc.seq + k_inflight),
         )
@@ -1888,7 +2075,7 @@ class Estimator:
         # rewind to the post-keyframe state, apply the rigid world
         # correction, fix the host mirrors, and re-run the speculative
         # next frame from the corrected state
-        self._pipe_restore(ps)
+        self._restore_post_state(prev)
         self.imu_since_last_kf = list(prev.get("mirror_after", []))
         (self.win, self.r_cur, self.t_cur, self.r_prev, self.t_prev,
          self.vel_cur) = loop_mod.apply_world_correction(
@@ -1929,7 +2116,8 @@ class Estimator:
         h = self.cfg.camera.height
         ids = jnp.where(self.track.valid, self.track.ids, -1)
         rec, r_dev, t_dev, inj_pos, inj_ok = lc.relocalize(
-            self.img_prev[:h], self.track.uv, ids, self.track.valid,
+            fused.buf_image(self.img_prev, h),
+            self.track.uv, ids, self.track.valid,
             self.r_cb, self.t_cb,
         )
         if rec is None:
@@ -2102,7 +2290,12 @@ class Estimator:
                 np.asarray(self.img_prev), float(self.last_timestamp or 0.0),
                 None, self.cfg.imu.max_samples_per_frame,
                 self.cfg.camera.width,
+                transport=self.cfg.solver.image_transport,
             ))
+        if (self.cfg.solver.frames_per_dispatch > 1
+                and self.img_prev is not None):
+            # batch dispatches stack the previous frame's HOST buffer
+            self._last_buf_host = np.asarray(self.img_prev)
         self.trajectory = [
             (e["t"], np.asarray(e["r"]), np.asarray(e["p"])) for e in state["trajectory"]
         ]

@@ -127,22 +127,38 @@ def _predict_cv(r_cur, t_cur, r_prev, t_prev):
     return lie.so3_renormalize(r_pred), t_pred
 
 
+#: wire dtype + intensity scale per image-transport mode. The relay
+#: moves ~30 MB/s (tools/profile_pipeline.py, round 5), so the frame
+#: upload's BYTE COUNT is a first-order term in the per-frame budget:
+#: "u8" cuts the 960x480 frame from 1.8 MB to 0.47 MB. The reference
+#: consumes 8-bit camera images (OpenCV CV_8U mats, app/main.cpp:199-204
+#: + FeatureTracker's cv::Mat pipeline), so the u8 wire format carries
+#: the reference's full input precision; "u16" is a 1.5e-5-quantization
+#: middle ground for float-native synthetic data; "f32" is exact.
+_TRANSPORTS = {"f32": (None, 1.0), "u8": ("uint8", 255.0),
+               "u16": ("uint16", 65535.0)}
+
+
 def pack_frame_input(image, timestamp, imu_rows, cap: int, width: int,
-                     frame_id: int = 0):
-    """Host-side: ONE [H+aux_rows, W] f32 buffer carrying the frame
-    image plus every per-frame scalar input (timestamp, frame id, IMU
+                     frame_id: int = 0, transport: str = "f32"):
+    """Host-side: ONE [H+aux_rows, W] buffer carrying the frame image
+    plus every per-frame scalar input (timestamp, frame id, IMU
     samples, masks). The relay charges a round trip per uploaded array
     (utils/hostsync.py), so the frame's host->device traffic must be a
-    single buffer — tracking_step unpacks it in-graph."""
+    single buffer — tracking_step unpacks it in-graph.
+
+    ``transport`` picks the wire dtype (see _TRANSPORTS). Quantized
+    modes carry the image as uint8/uint16 and the aux floats as their
+    raw little-endian bytes (bitcast back in-graph); floats never ride
+    an f32 REINTERPRETED lane (the TPU relay flushes denormals created
+    by bitcasts through float buffers — utils/hostsync.py round-5
+    finding — so the wire dtype here is integral end to end)."""
     import numpy as np
 
     h, w = image.shape
     # timestamp, frame_id, have_imu, samples [cap,7], mask [cap]
     n_aux = 3 + cap * 8
-    aux_rows = -(-n_aux // width)
-    buf = np.zeros((h + aux_rows, w), np.float32)
-    buf[:h] = image
-    aux = np.zeros(aux_rows * width, np.float32)
+    aux = np.zeros(n_aux, np.float32)
     aux[0] = timestamp
     aux[1] = frame_id
     n = min(len(imu_rows), cap) if imu_rows is not None else 0
@@ -152,16 +168,54 @@ def pack_frame_input(image, timestamp, imu_rows, cap: int, width: int,
             imu_rows[-n:], np.float32
         ).ravel()
         aux[3 + cap * 7:3 + cap * 7 + n] = 1.0
-    buf[h:] = aux.reshape(aux_rows, width)
+    dt_name, scale = _TRANSPORTS[transport]
+    if dt_name is None:
+        aux_rows = -(-n_aux // width)
+        buf = np.zeros((h + aux_rows, w), np.float32)
+        buf[:h] = image
+        a = np.zeros(aux_rows * width, np.float32)
+        a[:n_aux] = aux
+        buf[h:] = a.reshape(aux_rows, width)
+        return buf
+    dt = np.dtype(dt_name)
+    lanes = 4 // dt.itemsize  # u8: 4 lanes per f32, u16: 2
+    n_words = n_aux * lanes
+    aux_rows = -(-n_words // width)
+    buf = np.zeros((h + aux_rows, w), dt)
+    buf[:h] = np.rint(
+        np.asarray(image, np.float32) * scale
+    ).clip(0, scale).astype(dt)
+    a = np.zeros(aux_rows * width, dt)
+    a[:n_words] = aux.view(dt)
+    buf[h:] = a.reshape(aux_rows, width)
     return buf
 
 
+def buf_image(frame_buf, height: int):
+    """Image rows of a packed frame buffer as f32 in [0, 1], for any
+    transport (works on device arrays in-graph and on np arrays)."""
+    img = frame_buf[:height]
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    if img.dtype == jnp.uint16:
+        return img.astype(jnp.float32) * (1.0 / 65535.0)
+    return img
+
+
 def unpack_frame_buf(frame_buf, cfg):
-    """In-graph unpack of pack_frame_input's layout."""
+    """In-graph unpack of pack_frame_input's layout (any transport)."""
     h = cfg.camera.height
     cap = cfg.imu.max_samples_per_frame
-    img = frame_buf[:h]
-    aux = frame_buf[h:].ravel()
+    n_aux = 3 + cap * 8
+    img = buf_image(frame_buf, h)
+    if frame_buf.dtype == jnp.float32:
+        aux = frame_buf[h:].ravel()
+    else:
+        lanes = 4 // frame_buf.dtype.itemsize
+        raw = frame_buf[h:].ravel()[:n_aux * lanes]
+        aux = jax.lax.bitcast_convert_type(
+            raw.reshape(n_aux, lanes), jnp.float32
+        )
     return {
         "img": img,
         "timestamp": aux[0],
@@ -209,7 +263,7 @@ def tracking_step(
 
     # ---- unpack the single frame buffer (see pack_frame_input) ----
     fb = unpack_frame_buf(frame_buf, cfg)
-    img_prev = prev_buf[:h]
+    img_prev = buf_image(prev_buf, h)
     img_next = fb["img"]
     timestamp = fb["timestamp"]
     have_imu = fb["have_imu"]
@@ -671,14 +725,46 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
     if hit is not None:
         return hit
 
-    cap_kf = cfg.imu.max_samples_per_keyframe
-    max_kf = cfg.window.max_keyframes
-    rec_len = kf_record_len(max_kf)
-    loop_on = cfg.loop.enabled
+    core = _make_mega_core(cfg, use_imu, dist_ba_fn, dist_viba_fn)
     fetch_k = max(cfg.solver.fetch_every, 1)
 
     def mega(track, win, preints, kf_rows, kf_count, n_pairs,
              refine_count, loop_db, loop_seq, rec_ring, prev_buf,
+             frame_buf, key, r_cur, t_cur, r_prev, t_prev, vel_cur, bg,
+             ba, gravity_w, t_bc, r_bc, r_cb, t_cb):
+        (track3, win3, preints3, kf_rows2, kf_count2, n_pairs2, refine2,
+         loop_db2, loop_seq2, key2, r3, t3, v3, bg3, ba3,
+         record) = core(
+            track, win, preints, kf_rows, kf_count, n_pairs,
+            refine_count, loop_db, loop_seq, prev_buf, frame_buf, key,
+            r_cur, t_cur, r_prev, t_prev, vel_cur, bg, ba, gravity_w,
+            t_bc, r_bc, r_cb, t_cb,
+        )
+        # batched-fetch ring: the host reads K frames' records in ONE
+        # transfer (cfg.solver.fetch_every); slot = frame id mod K
+        fid = unpack_frame_buf(frame_buf, cfg)["frame_id"]
+        rec_ring = rec_ring.at[jnp.mod(fid, fetch_k)].set(record)
+        return (track3, win3, preints3, kf_rows2, kf_count2, n_pairs2,
+                refine2, loop_db2, loop_seq2, rec_ring, key2, r3, t3,
+                v3, bg3, ba3)
+
+    fn = _pjit(mega)
+    _KF_STEP_CACHE[cache_key] = fn
+    return fn
+
+
+def _make_mega_core(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
+                    dist_viba_fn=None):
+    """The megastep body as a pure per-frame function, shared by the
+    single-dispatch wrapper (make_mega_step) and the K-frame scanned
+    dispatch (make_multi_mega_step)."""
+    cap_kf = cfg.imu.max_samples_per_keyframe
+    max_kf = cfg.window.max_keyframes
+    rec_len = kf_record_len(max_kf)
+    loop_on = cfg.loop.enabled
+
+    def core(track, win, preints, kf_rows, kf_count, n_pairs,
+             refine_count, loop_db, loop_seq, prev_buf,
              frame_buf, key, r_cur, t_cur, r_prev, t_prev, vel_cur, bg,
              ba, gravity_w, t_bc, r_bc, r_cb, t_cb):
         fb = unpack_frame_buf(frame_buf, cfg)
@@ -769,13 +855,117 @@ def make_mega_step(cfg: VioConfig, use_imu: bool, dist_ba_fn=None,
             (track2, win, preints, bg, ba, loop_db, loop_seq),
         )
         record = jnp.concatenate([bundle, kfrec])
-        # batched-fetch ring: the host reads K frames' records in ONE
-        # transfer (cfg.solver.fetch_every); slot = frame id mod K
-        rec_ring = rec_ring.at[jnp.mod(fb["frame_id"], fetch_k)].set(record)
         return (track3, win3, preints3, kf_rows, kf_count2, n_pairs2,
-                refine2, loop_db2, loop_seq2, rec_ring, key2, r3, t3,
-                v3, bg3, ba3)
+                refine2, loop_db2, loop_seq2, key2, r3, t3,
+                v3, bg3, ba3, record)
 
-    fn = _pjit(mega)
+    return core
+
+
+def mega_qstate_len(cfg: VioConfig) -> int:
+    """Length of the per-frame loop-query tail the scanned dispatch
+    appends to each record: post-frame feature state (uv, ids, valid)
+    + pose, so the host can run loop-closure detection for a mid-batch
+    keyframe without per-frame device snapshots."""
+    n = cfg.features.max_features
+    return n * 2 + n + n + 9 + 3
+
+
+def unpack_mega_qstate(tail, cfg: VioConfig) -> dict:
+    """Host-side unpack of the scanned record's loop-query tail."""
+    import numpy as np
+
+    n = cfg.features.max_features
+    uv = np.asarray(tail[:n * 2]).reshape(n, 2)
+    ids = np.asarray(tail[n * 2:n * 3]).astype(np.int64)
+    valid = np.asarray(tail[n * 3:n * 4]) > 0.5
+    r = np.asarray(tail[n * 4:n * 4 + 9]).reshape(3, 3)
+    t = np.asarray(tail[n * 4 + 9:n * 4 + 12])
+    return {"uv": uv, "ids": ids, "valid": valid, "r": r, "t": t}
+
+
+def make_multi_mega_step(cfg: VioConfig, use_imu: bool, k: int,
+                         dist_ba_fn=None, dist_viba_fn=None,
+                         unroll: bool = False):
+    """K megasteps as ONE scanned program over ONE stacked upload.
+
+    Motivation (round 5, tools/profile_pipeline.py + the stacked-upload
+    probe): the tunneled-TPU relay charges ~30 ms of serialized server
+    time PER operation plus ~30 MB/s for the payload, so after the
+    megastep collapsed every frame to 3 ops, the remaining lever is
+    dispatching K frames per op triplet: one stacked [K+1, H+aux, W]
+    upload (row 0 = the PREVIOUS frame's buffer, so consecutive batches
+    chain without keeping a device-side image handle), one program that
+    ``lax.scan``s the megastep core over the K (prev, next) buffer
+    pairs, and one fetch of the stacked per-frame records. On local
+    hardware the same structure amortizes K dispatch overheads.
+
+    Each scanned record is ``concat(mega record, loop-query tail)``
+    (mega_qstate_len): the tail carries the post-frame track/pose state
+    the host's loop-closure detection would otherwise read from the
+    per-frame pipeline snapshots that batch mode doesn't keep.
+
+    Returns a jitted
+    ``multi(track, win, preints, kf_rows, kf_count, n_pairs,
+    refine_count, loop_db, loop_seq, bufs, key, r_cur, t_cur, r_prev,
+    t_prev, vel_cur, bg, ba, gravity_w, t_bc, r_bc, r_cb, t_cb) ->
+    (track', win', preints', kf_rows', kf_count', n_pairs',
+    refine_count', loop_db', loop_seq', key', r', t', r_prev', t_prev',
+    v', bg', ba', records[k, rec+qstate])``.
+    """
+    cache_key = ("multi", cfg, use_imu, k, dist_ba_fn, dist_viba_fn,
+                 unroll)
+    hit = _KF_STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    core = _make_mega_core(cfg, use_imu, dist_ba_fn, dist_viba_fn)
+
+    def multi(track, win, preints, kf_rows, kf_count, n_pairs,
+              refine_count, loop_db, loop_seq, bufs, key, r_cur, t_cur,
+              r_prev, t_prev, vel_cur, bg, ba, gravity_w, t_bc, r_bc,
+              r_cb, t_cb):
+        def body(carry, pair):
+            (track, win, preints, kf_rows, kf_count, n_pairs,
+             refine_count, loop_db, loop_seq, key, r_cur, t_cur,
+             r_prev, t_prev, vel_cur, bg, ba) = carry
+            pbuf, fbuf = pair
+            (track3, win3, preints3, kf_rows2, kf_count2, n_pairs2,
+             refine2, loop_db2, loop_seq2, key2, r3, t3, v3, bg3, ba3,
+             record) = core(
+                track, win, preints, kf_rows, kf_count, n_pairs,
+                refine_count, loop_db, loop_seq, pbuf, fbuf, key,
+                r_cur, t_cur, r_prev, t_prev, vel_cur, bg, ba,
+                gravity_w, t_bc, r_bc, r_cb, t_cb,
+            )
+            ids = jnp.where(track3.valid, track3.ids, -1)
+            # f32 carries the ids exactly to 2^24 — far beyond any
+            # feature-id watermark a real run reaches
+            qtail = jnp.concatenate([
+                track3.uv.ravel(),
+                ids.astype(jnp.float32),
+                track3.valid.astype(jnp.float32),
+                r3.ravel(), t3,
+            ])
+            carry2 = (track3, win3, preints3, kf_rows2, kf_count2,
+                      n_pairs2, refine2, loop_db2, loop_seq2, key2,
+                      r3, t3, r_cur, t_cur, v3, bg3, ba3)
+            return carry2, jnp.concatenate([record, qtail])
+
+        carry0 = (track, win, preints, kf_rows, kf_count, n_pairs,
+                  refine_count, loop_db, loop_seq, key, r_cur, t_cur,
+                  r_prev, t_prev, vel_cur, bg, ba)
+        carry1, records = jax.lax.scan(
+            body, carry0, (bufs[:-1], bufs[1:]),
+            unroll=k if unroll else 1,
+        )
+        (track3, win3, preints3, kf_rows2, kf_count2, n_pairs2, refine2,
+         loop_db2, loop_seq2, key2, r3, t3, rp3, tp3, v3, bg3,
+         ba3) = carry1
+        return (track3, win3, preints3, kf_rows2, kf_count2, n_pairs2,
+                refine2, loop_db2, loop_seq2, key2, r3, t3, rp3, tp3,
+                v3, bg3, ba3, records)
+
+    fn = _pjit(multi)
     _KF_STEP_CACHE[cache_key] = fn
     return fn
